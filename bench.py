@@ -1,0 +1,62 @@
+"""Benchmark driver — prints ONE JSON line for the round driver.
+
+Flagship single-chip configuration (BASELINE.md targets; the reference
+publishes no timings, so the metric is absolute time-to-k-eigenpairs):
+2D Laplacian 512×512 (n = 262144), k = 50 largest eigenpairs, block b = 8,
+fp32 basis + fp32-accumulated recurrence with the f64 banded Rayleigh–Ritz
+solve on host (the reference's mixed-precision scheme, README.md:69 /
+common.jl:5-6), partial reorthogonalization, Krylov cap 768.
+
+The solve runs twice: the first populates XLA's compile caches (every
+basis-capacity bucket), the second is timed.
+"""
+
+import json
+import time
+
+
+def run(timed: bool):
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+    from rbl_tpu.config import RBLConfig
+
+    nx = ny = 512
+    k, b = 50, 8
+    op = rt.Laplacian2D(nx=nx, ny=ny, _dtype=jnp.float32)
+    cfg = RBLConfig(
+        block_size=b,
+        basis_dtype=jnp.float32,
+        compute_dtype=jnp.float32,
+        qr_method="cholqr2",
+        tol=1e-3,
+        max_kryl_dim=768,
+        eig_poll_cadence=8,
+    )
+    t0 = time.perf_counter()
+    res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)
+    if res.eigenvectors is not None:
+        import jax
+
+        jax.block_until_ready(res.eigenvectors)
+    dt = time.perf_counter() - t0
+    return dt, res
+
+
+def main():
+    run(timed=False)  # warm the compile caches
+    dt, res = run(timed=True)
+    print(
+        json.dumps(
+            {
+                "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8_f32",
+                "value": round(dt, 3),
+                "unit": "s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Low-rank image compression demo — the reference images.jl re-imagined.
+
+Rank-k approximation of a grayscale image B three ways (images.jl:14-48):
+  1. RBL on the Gram matrix BᵀB: right singular vectors V and σ² = D;
+     left factor recovered as U = (B·V)/σ (images.jl:21-25 uses D ≈ σ²
+     and divides by Dᵀ — i.e. approximates via the normal equations).
+  2. scipy's ARPACK svds (the reference's Arpack.svds comparison).
+  3. numpy's exact SVD (stand-in for LowRankApprox.psvd).
+
+Without an image file a synthetic low-rank-plus-noise image is generated, so
+the demo runs hermetically (no Images.jl/Plots.jl equivalents needed).
+
+Usage: python examples/images.py [--image path.png] [--rank 50]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def load_or_make_image(path):
+    if path:
+        try:
+            from PIL import Image
+
+            return np.asarray(Image.open(path).convert("L"), dtype=np.float64) / 255.0
+        except ImportError:
+            print("PIL unavailable; using synthetic image")
+    rng = np.random.default_rng(0)
+    h, w, r = 480, 640, 40
+    img = rng.standard_normal((h, r)) @ rng.standard_normal((r, w))
+    img += 0.05 * rng.standard_normal((h, w))
+    img -= img.min()
+    return img / img.max()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image", default=None)
+    p.add_argument("--rank", type=int, default=50)
+    p.add_argument("--out", default=None, help="save reconstruction .npy")
+    args = p.parse_args()
+
+    B = load_or_make_image(args.image)
+    k = args.rank
+    print(f"image {B.shape}, rank-{k} approximation")
+
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+
+    # 1. RBL on the Gram matrix  (images.jl:21-25)
+    t0 = time.perf_counter()
+    G = rt.DenseOperator(jnp.asarray(B.T @ B))
+    res = rt.rbl(G, k, 1)
+    D = res.eigenvalues                      # σ²
+    V = np.asarray(res.eigenvectors)         # right singular vectors
+    sigma = np.sqrt(np.maximum(D, 0.0))
+    U = (B @ V) / sigma[None, :]
+    B_rbl = (U * sigma[None, :]) @ V.T
+    t_rbl = time.perf_counter() - t0
+    err_rbl = np.linalg.norm(B - B_rbl) / np.linalg.norm(B)
+
+    # 2. ARPACK svds
+    import scipy.sparse.linalg as spla
+
+    t0 = time.perf_counter()
+    U2, S2, Vt2 = spla.svds(B, k=k, tol=1e-7)
+    order = np.argsort(-S2)
+    B_svds = (U2[:, order] * S2[order][None, :]) @ Vt2[order, :]
+    t_svds = time.perf_counter() - t0
+    err_svds = np.linalg.norm(B - B_svds) / np.linalg.norm(B)
+
+    # 3. exact truncated SVD
+    t0 = time.perf_counter()
+    Uf, Sf, Vtf = np.linalg.svd(B, full_matrices=False)
+    B_svd = (Uf[:, :k] * Sf[:k][None, :]) @ Vtf[:k, :]
+    t_svd = time.perf_counter() - t0
+    err_svd = np.linalg.norm(B - B_svd) / np.linalg.norm(B)
+
+    print(f"RBL(BᵀB):  {t_rbl:.3f}s  rel fro err {err_rbl:.4e}")
+    print(f"svds:      {t_svds:.3f}s  rel fro err {err_svds:.4e}")
+    print(f"full SVD:  {t_svd:.3f}s  rel fro err {err_svd:.4e}")
+    print(f"top σ: RBL {sigma[:3]}, svds {np.sort(S2)[::-1][:3]}, svd {Sf[:3]}")
+
+    if args.out:
+        np.save(args.out, B_rbl)
+        print(f"saved reconstruction to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""rbl_tpu — TPU-native randomized block Lanczos eigensolver.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+GPU-Randomized-Block-Lanczos (Julia/CUDA): k largest-magnitude eigenpairs of
+large sparse symmetric matrices via randomized block Lanczos with local +
+partial reorthogonalization, banded Rayleigh–Ritz solves, residual-bound
+convergence, Ritz-vector recovery, an explicitly-restarted deflating variant,
+mixed precision, and row-sharded multi-chip execution over a jax Mesh.
+
+Public surface (reference parity, SURVEY §1 L4):
+  rbl / RBL                — RBL(A, k, b)            (RBL.jl:119)
+  rbl_restarted / RBL_restarted — restarted+deflated  (restarted.jl:97,196)
+  RBLConfig                — every knob the reference hardcodes
+  operators                — DiagonalOperator, DenseOperator, SparseEllOperator,
+                             Laplacian2D/3D, BCOO/Pallas SpMM paths
+"""
+
+import jax as _jax
+
+# The recurrence and projected eigensolve run in f64 by default, like the
+# reference's DOUBLE (common.jl:6).  x64 must be enabled before any JAX call.
+_jax.config.update("jax_enable_x64", True)
+
+from .config import RBLConfig
+from .ops.spmm.operator import (
+    DenseOperator,
+    DiagonalOperator,
+    Laplacian2D,
+    Laplacian3D,
+    LinearOperator,
+    as_operator,
+)
+from .ops.spmm.ell import SparseEllOperator
+from .solver.lanczos import LanczosResult
+from .solver.rbl import RBL, rbl
+
+__all__ = [
+    "RBLConfig",
+    "LinearOperator",
+    "DiagonalOperator",
+    "DenseOperator",
+    "SparseEllOperator",
+    "Laplacian2D",
+    "Laplacian3D",
+    "as_operator",
+    "LanczosResult",
+    "rbl",
+    "RBL",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""Solver configuration.
+
+The reference hardcodes every knob as a literal scattered through the source
+(max Krylov sizes at RBL.jl:133 / RBL_gpu.jl:211 / restarted.jl:103,210; reorth
+cadence at RBL.jl:93 and restarted.jl:53,171; eig-poll cadence at RBL.jl:106;
+tolerance 1e-7 at RBL.jl:109; precision pair at common.jl:5-6; buffer fractions
+at RBL_gpu.jl:25,96).  Here every one of those is lifted into a single typed
+config object threaded through the solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RBLConfig:
+    """Configuration for the randomized block Lanczos solver.
+
+    Attributes
+    ----------
+    block_size:
+        Block width b (number of Lanczos vectors advanced per iteration).
+    max_kryl_dim:
+        Hard cap on the Krylov subspace dimension (reference: 1400 CPU /
+        1200 GPU).  The actual cap may be further reduced by the HBM budget
+        (see ``rbl_tpu.parallel.memory``).
+    tol:
+        Ritz-pair residual-bound convergence tolerance (reference: 1e-7).
+    basis_dtype:
+        Storage/reorthogonalization precision of the Krylov basis — the
+        reference's ``FLOAT`` (common.jl:5).  bf16/f32 on TPU for speed,
+        f64 for the strict CI accuracy gate.
+    compute_dtype:
+        Precision of the three-term recurrence, QR and projected eigensolve —
+        the reference's ``DOUBLE`` (common.jl:6).
+    partial_reorth_cadence:
+        Run partial reorthogonalization against the stored basis every this
+        many iterations (reference: 2; restarted variant: 3).
+    eig_poll_cadence:
+        Solve the projected eigenproblem / poll convergence every this many
+        iterations (reference: 4).
+    loc_reorth_passes:
+        Number of (project, re-orthonormalize) passes of the local
+        reorthogonalization of the newest block against its predecessor.
+        2 == CGS2, the *intended* semantics of the reference's loc_reorth!
+        (RBL.jl:4-13 — its in-place effective behavior keeps only one
+        projection; we implement the intended algorithm).
+    qr_method:
+        "householder" (jnp.linalg.qr) or "cholqr2" (CholeskyQR2 — two MXU
+        GEMMs + small Cholesky, the TPU-native tall-skinny QR that also
+        distributes with a single psum).  "auto" picks householder for f64
+        and cholqr2 otherwise.
+    eig_backend:
+        "banded_host": LAPACK-banded eigensolver (scipy ``eig_banded``) on the
+        host — the same dsbev path as the reference (common.jl:28-48).
+        "device": dense symmetric ``jnp.linalg.eigh`` of the expanded
+        block-tridiagonal T on device (usable inside fully-jitted sweeps).
+    min_basis_cols:
+        Initial number of columns allocated for the Krylov basis buffer; the
+        buffer grows geometrically (×2) up to the capped Krylov dimension so
+        quickly-converging problems never allocate the worst case.  This is
+        the TPU analogue of the reference's lazily-grown ``push!`` basis plus
+        its VRAM-budgeted resident buffer (RBL_gpu.jl:95-104).
+    seed:
+        PRNG seed for the randomized starting block Ω.
+    mesh / rows_axis:
+        Optional ``jax.sharding.Mesh`` and the mesh-axis name over which the
+        row dimension (n) of the operator and of every Krylov block is
+        sharded.  ``None`` means single-device.
+    hbm_budget_fraction:
+        Fraction of free device memory the Krylov basis is allowed to use
+        (reference uses 0.8 of free VRAM, RBL_gpu.jl:96).
+    """
+
+    block_size: int = 4
+    max_kryl_dim: int = 1400
+    tol: float = 1e-7
+    basis_dtype: Any = jnp.float64
+    compute_dtype: Any = jnp.float64
+    partial_reorth_cadence: int = 2
+    eig_poll_cadence: int = 4
+    loc_reorth_passes: int = 2
+    qr_method: str = "auto"
+    eig_backend: str = "banded_host"
+    min_basis_cols: int = 32
+    seed: int = 0
+    mesh: Optional[Any] = None
+    rows_axis: str = "rows"
+    hbm_budget_fraction: float = 0.8
+
+    # --- restarted / deflating variant knobs (restarted.jl) ---
+    restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)
+    restart_growth: int = 10         # sweep growth per restart (restarted.jl:142)
+    restart_reorth_cadence: int = 3  # deflation + partial reorth cadence (restarted.jl:53)
+
+    def resolved_qr_method(self) -> str:
+        if self.qr_method != "auto":
+            return self.qr_method
+        return "householder" if jnp.dtype(self.compute_dtype).itemsize >= 8 else "cholqr2"
+
+    def replace(self, **kw) -> "RBLConfig":
+        return dataclasses.replace(self, **kw)

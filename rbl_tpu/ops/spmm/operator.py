@@ -1,0 +1,199 @@
+"""Linear-operator abstraction for the sparse symmetric matrix A.
+
+The reference binds the operator to concrete CPU/GPU storage types
+(SparseMatrixCSC / CuSparseMatrixCSC, dispatched at RBL.jl:74 and
+RBL_gpu.jl:134).  Here the solver core is written against a single abstract
+``LinearOperator`` whose implementations are JAX pytrees, so the same jitted
+solver traces over any of them — dense, diagonal, matrix-free stencil, COO
+segment-sum, or the Pallas BSR kernel — on any backend and under any sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pet(dtype):
+    """MXU accumulation dtype: accumulate sub-f32 inputs in f32."""
+    return jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+
+
+class LinearOperator:
+    """A symmetric n×n linear operator.  Subclasses are registered pytrees.
+
+    Required:
+      - ``shape`` property -> (n, n)
+      - ``dtype`` property
+      - ``apply(X)``: block matvec, (n, b) -> (n, b)
+    """
+
+    @property
+    def shape(self):
+        raise NotImplementedError
+
+    @property
+    def dtype(self):
+        raise NotImplementedError
+
+    def apply(self, X: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def __matmul__(self, X):
+        return self.apply(X)
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+
+def register_operator(cls):
+    """Register an operator dataclass as a JAX pytree (array fields are
+    leaves, everything else is static aux data)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+    array_fields = [f.name for f in dataclasses.fields(cls) if f.metadata.get("leaf", True)]
+    static_fields = [f for f in fields if f not in array_fields]
+
+    def flatten(op):
+        children = tuple(getattr(op, f) for f in array_fields)
+        aux = tuple(getattr(op, f) for f in static_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        kw = dict(zip(array_fields, children))
+        kw.update(dict(zip(static_fields, aux)))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+def static_field(**kw):
+    return dataclasses.field(metadata={"leaf": False}, **kw)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class DiagonalOperator(LinearOperator):
+    """A = diag(d).  The reference's unit-test matrices are exactly this
+    (Unit Testing/test.jl:17-50 builds sparse(Diagonal(a)))."""
+
+    diag: jax.Array  # (n,)
+
+    @property
+    def shape(self):
+        return (self.diag.shape[0], self.diag.shape[0])
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def apply(self, X):
+        return self.diag[:, None] * X
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class DenseOperator(LinearOperator):
+    """A as a dense matrix — MXU matmul.  Used for the Gram-matrix path of
+    the image demo (images.jl:21-25) and as the reference oracle in tests."""
+
+    mat: jax.Array  # (n, n)
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def apply(self, X):
+        return jnp.dot(self.mat, X, preferred_element_type=_pet(X.dtype))
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class Laplacian2D(LinearOperator):
+    """Matrix-free 5-point 2D Laplacian stencil on an nx×ny grid
+    (Dirichlet).  n = nx*ny.  TPU-native 'sparse' operator: the stencil is
+    pure VPU shifts/adds — no gathers, fuses fully under XLA."""
+
+    nx: int = static_field()
+    ny: int = static_field()
+    _dtype: Any = static_field(default=jnp.float64)
+
+    @property
+    def shape(self):
+        return (self.nx * self.ny, self.nx * self.ny)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._dtype)
+
+    def apply(self, X):
+        b = X.shape[1]
+        G = X.reshape(self.nx, self.ny, b)
+        out = 4.0 * G
+        out = out.at[1:, :, :].add(-G[:-1, :, :])
+        out = out.at[:-1, :, :].add(-G[1:, :, :])
+        out = out.at[:, 1:, :].add(-G[:, :-1, :])
+        out = out.at[:, :-1, :].add(-G[:, 1:, :])
+        return out.reshape(self.nx * self.ny, b)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class Laplacian3D(LinearOperator):
+    """Matrix-free 7-point 3D Laplacian on an nx×ny×nz grid (Dirichlet)."""
+
+    nx: int = static_field()
+    ny: int = static_field()
+    nz: int = static_field()
+    _dtype: Any = static_field(default=jnp.float64)
+
+    @property
+    def shape(self):
+        n = self.nx * self.ny * self.nz
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._dtype)
+
+    def apply(self, X):
+        b = X.shape[1]
+        G = X.reshape(self.nx, self.ny, self.nz, b)
+        out = 6.0 * G
+        out = out.at[1:].add(-G[:-1])
+        out = out.at[:-1].add(-G[1:])
+        out = out.at[:, 1:].add(-G[:, :-1])
+        out = out.at[:, :-1].add(-G[:, 1:])
+        out = out.at[:, :, 1:].add(-G[:, :, :-1])
+        out = out.at[:, :, :-1].add(-G[:, :, 1:])
+        return out.reshape(-1, b)
+
+
+def as_operator(A, dtype=None) -> LinearOperator:
+    """Coerce a user-supplied matrix into a LinearOperator.
+
+    Accepts: LinearOperator (returned as-is), dense ndarray/jax array,
+    scipy.sparse matrix (converted to the ELL operator), 1-D array
+    (diagonal).
+    """
+    if isinstance(A, LinearOperator):
+        return A
+    if hasattr(A, "tocsr"):  # scipy.sparse
+        from .ell import SparseEllOperator
+
+        return SparseEllOperator.from_scipy(A.tocsr(), dtype=dtype)
+    A = jnp.asarray(A, dtype=dtype)
+    if A.ndim == 1:
+        return DiagonalOperator(A)
+    if A.ndim == 2:
+        return DenseOperator(A)
+    raise TypeError(f"cannot interpret {type(A)} as a linear operator")

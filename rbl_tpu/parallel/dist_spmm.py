@@ -1,0 +1,132 @@
+"""Row-partitioned distributed SpMM with halo exchange.
+
+TPU-native replacement for the reference's single-GPU CuSPARSE SpMM +
+host↔device streaming (RBL_gpu.jl:152,176 and hybrid_part_reorth's copyto!
+loop): A's rows live on a 1-D "rows" mesh; applying a stencil/banded
+operator needs only the neighbor devices' boundary rows, moved with
+``jax.lax.ppermute`` over ICI (the sparse analogue of ring/context
+parallelism — SURVEY §2c).  Non-circular permutes deliver zeros at the mesh
+edges, which is exactly the Dirichlet boundary.
+
+For general sparse matrices the fallback is an all-gather of the block
+(``AllGatherSpMM``), which XLA overlaps with local compute where possible;
+the Pallas BSR kernel path composes with the same shard_map wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.spmm.operator import LinearOperator, register_operator, static_field
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShardedLaplacian2D(LinearOperator):
+    """5-point 2D Laplacian with grid rows slabbed across the mesh's
+    "rows" axis.  apply() runs under shard_map: local stencil plus a
+    two-neighbor ppermute halo exchange of one grid row each way."""
+
+    nx: int = static_field()
+    ny: int = static_field()
+    mesh: Mesh = static_field(default=None)
+    axis: str = static_field(default="rows")
+    _dtype: Any = static_field(default=jnp.float32)
+
+    @property
+    def shape(self):
+        n = self.nx * self.ny
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._dtype)
+
+    def apply(self, X):
+        ndev = self.mesh.shape[self.axis]
+        nx_local = self.nx // ndev
+        ny = self.ny
+
+        def local_apply(x_slab):
+            # x_slab: (nx_local*ny, b) — this device's slab of grid rows
+            b = x_slab.shape[1]
+            G = x_slab.reshape(nx_local, ny, b)
+            fwd = [(i, i + 1) for i in range(ndev - 1)]
+            bwd = [(i + 1, i) for i in range(ndev - 1)]
+            # halo rows from the neighbors (zeros at the mesh edges)
+            halo_lo = jax.lax.ppermute(G[-1], self.axis, perm=fwd)
+            halo_hi = jax.lax.ppermute(G[0], self.axis, perm=bwd)
+            up = jnp.concatenate([halo_lo[None], G[:-1]], axis=0)
+            down = jnp.concatenate([G[1:], halo_hi[None]], axis=0)
+            out = 4.0 * G - up - down
+            out = out.at[:, 1:, :].add(-G[:, :-1, :])
+            out = out.at[:, :-1, :].add(-G[:, 1:, :])
+            return out.reshape(nx_local * ny, b)
+
+        return jax.shard_map(
+            local_apply,
+            mesh=self.mesh,
+            in_specs=P(self.axis, None),
+            out_specs=P(self.axis, None),
+        )(X)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShardedEllSpMM(LinearOperator):
+    """General row-partitioned sparse SpMM: each device owns a row band of A
+    in ELL layout (cols/vals (L, n) sharded over rows, i.e. axis 1) and
+    all-gathers the (n, b) block over ICI before the local multiply — the
+    generic distributed path when the operator has no exploitable halo
+    structure.  Column indices are global, so the gathered full block is
+    indexed directly."""
+
+    cols: jax.Array  # (L, n) int32, global column ids; sharded on axis 1
+    vals: jax.Array  # (L, n)
+    _n: int = static_field(default=0)
+    mesh: Mesh = static_field(default=None)
+    axis: str = static_field(default="rows")
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @classmethod
+    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
+        from ..ops.spmm.ell import SparseEllOperator
+
+        ell = SparseEllOperator.from_scipy(A, dtype=dtype)
+        sh = NamedSharding(mesh, P(None, axis))
+        return cls(
+            cols=jax.device_put(ell.cols, sh),
+            vals=jax.device_put(ell.vals, sh),
+            _n=ell._n, mesh=mesh, axis=axis,
+        )
+
+    def apply(self, X):
+        def local_apply(cols_l, vals_l, x_local):
+            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+
+            def body(acc, row):
+                c, v = row
+                return acc + v[:, None] * jnp.take(x_full, c, axis=0), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros_like(x_local), (cols_l, vals_l))
+            return out
+
+        return jax.shard_map(
+            local_apply,
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(None, self.axis), P(self.axis, None)),
+            out_specs=P(self.axis, None),
+        )(self.cols, self.vals, X)

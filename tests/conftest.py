@@ -1,0 +1,35 @@
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 virtual devices so the row-sharded
+multi-chip path is exercised without TPU hardware (the TPU analogue of
+"test multi-node without a cluster" — SURVEY §4).
+
+This environment may pre-import jax from sitecustomize (TPU tunnel), so
+env vars set here can be too late; jax.config.update still steers the
+platform as long as no backend has been initialized yet.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs

@@ -1,0 +1,65 @@
+"""Row-sharded multi-device tests on the 8-virtual-CPU mesh — the TPU
+analogue of multi-node testing (SURVEY §4: the reference has no distributed
+tests because nothing distributed exists)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import rbl_tpu as rt
+from rbl_tpu.config import RBLConfig
+from rbl_tpu.parallel.dist_spmm import ShardedEllSpMM, ShardedLaplacian2D
+from rbl_tpu.parallel.mesh import make_row_mesh, shard_rows
+
+
+def test_sharded_laplacian_matches_single_device(eight_devices):
+    mesh = make_row_mesh(8)
+    nx, ny, b = 32, 16, 3
+    op_d = ShardedLaplacian2D(nx=nx, ny=ny, mesh=mesh, _dtype=jnp.float64)
+    op_s = rt.Laplacian2D(nx=nx, ny=ny)
+    X = np.random.default_rng(0).standard_normal((nx * ny, b))
+    Xs = shard_rows(jnp.asarray(X), mesh)
+    out_d = np.asarray(op_d.apply(Xs))
+    out_s = np.asarray(op_s.apply(jnp.asarray(X)))
+    np.testing.assert_allclose(out_d, out_s, atol=1e-12)
+
+
+def test_sharded_ell_spmm_matches_scipy(eight_devices):
+    import scipy.sparse as sp
+
+    mesh = make_row_mesh(8)
+    n, b = 512, 4
+    rng = np.random.default_rng(1)
+    M = sp.random(n, n, density=0.02, random_state=2)
+    A = sp.csr_matrix(M + M.T)
+    op = ShardedEllSpMM.from_scipy(A, mesh)
+    X = rng.standard_normal((n, b))
+    out = np.asarray(op.apply(shard_rows(jnp.asarray(X), mesh)))
+    np.testing.assert_allclose(out, A @ X, atol=1e-12)
+
+
+def test_sharded_solve_matches_single_device(eight_devices):
+    """Full solve over the mesh must reproduce the single-device spectrum:
+    the sharded Krylov store + psum Grams change the layout, not the math."""
+    mesh = make_row_mesh(8)
+    nx, ny, k, b = 32, 32, 6, 4
+    cfg = RBLConfig(block_size=b, mesh=mesh, max_kryl_dim=512)
+    res_d = rt.rbl(
+        ShardedLaplacian2D(nx=nx, ny=ny, mesh=mesh, _dtype=jnp.float64),
+        k, b, cfg=cfg,
+    )
+    res_s = rt.rbl(rt.Laplacian2D(nx=nx, ny=ny), k, b)
+    np.testing.assert_allclose(res_d.eigenvalues, res_s.eigenvalues, rtol=1e-9)
+    # recovered vectors live row-sharded; check residuals through the op
+    V = res_d.eigenvectors
+    AV = np.asarray(rt.Laplacian2D(nx=nx, ny=ny).apply(V.astype(jnp.float64)))
+    r = AV - np.asarray(V) * res_d.eigenvalues[None, :]
+    assert np.linalg.norm(r, axis=0).max() < 1e-5
+
+
+def test_graft_entry_dryrun(eight_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,85 @@
+"""Synthetic-spectrum accuracy gates — the reference's CI test suite.
+
+Mirrors Unit Testing/test.jl + {slow,mod,step}_dec.jl: sparse diagonal
+matrices with analytically known spectra, full solve, relative eigenvalue
+error gated at 1e-13 with k=5, b=5.  Sizes follow the reference drivers
+(slow/mod: 100:200:1000, slow_dec.jl:4; step: 100_000:200_000:1_000_000,
+step_dec.jl:4 — the largest step sizes are marked slow to keep default CI
+fast; CI runs them in a dedicated job, like the reference's 3-way split).
+"""
+
+import numpy as np
+import pytest
+
+import rbl_tpu as rt
+
+
+def _residual(diag, eig, k, b):
+    """RBL_residual (test.jl:10-14): relative eigenvalue error."""
+    res = rt.rbl(rt.DiagonalOperator(np.asarray(diag)), k, b)
+    return (res.eigenvalues - eig) / eig
+
+
+def slow_decay(n, k, b):
+    """λ_i = i (test.jl:31-37)."""
+    a = np.arange(1.0, n + 1.0)
+    return _residual(a, a[::-1][:k], k, b)
+
+
+def moderate_decay(n, k, b):
+    """λ_i = Σ_{j≤i} j (test.jl:17-28)."""
+    a = np.cumsum(np.arange(1.0, n + 1.0))
+    return _residual(a, a[::-1][:k], k, b)
+
+
+def step_decay(n, k, b):
+    """2k dominant eigenvalues i·n atop a sea of ones (test.jl:40-50)."""
+    a = np.ones(n)
+    sz = 2 * k
+    for i in range(1, sz + 1):
+        a[sz - i] = i * n
+    return _residual(a, a[:k].copy(), k, b)
+
+
+@pytest.mark.parametrize("n", range(100, 1001, 200))
+def test_slow_decay(n):
+    assert np.linalg.norm(slow_decay(n, 5, 5)) < 1e-13
+
+
+@pytest.mark.parametrize("n", range(100, 1001, 200))
+def test_moderate_decay(n):
+    assert np.linalg.norm(moderate_decay(n, 5, 5)) < 1e-13
+
+
+@pytest.mark.parametrize("n", [100_000, 300_000])
+def test_step_decay(n):
+    assert np.linalg.norm(step_decay(n, 5, 5)) < 1e-13
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [500_000, 700_000, 900_000])
+def test_step_decay_large(n):
+    assert np.linalg.norm(step_decay(n, 5, 5)) < 1e-13
+
+
+def test_negative_eigenvalues_by_magnitude():
+    """Largest-|λ| selection must find dominant negative eigenvalues
+    (sort_eig_abs semantics, common.jl:50-54)."""
+    n, k = 400, 4
+    a = np.arange(1.0, n + 1.0)
+    a[-1] = -2.0 * n  # dominant negative
+    res = rt.rbl(rt.DiagonalOperator(a), k, 4)
+    expect = sorted(a, key=abs)[::-1][:k]
+    np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-10)
+
+
+def test_eigenvectors_residual():
+    """Ritz vectors must satisfy ‖A v − λ v‖ ≤ tol·‖A‖ (reference validates
+    only eigenvalues; we also gate the recovered vectors)."""
+    n, k, b = 500, 6, 4
+    a = np.cumsum(np.arange(1.0, n + 1.0))
+    res = rt.rbl(rt.DiagonalOperator(a), k, b)
+    V = np.asarray(res.eigenvectors)
+    r = a[:, None] * V - V * res.eigenvalues[None, :]
+    assert np.linalg.norm(r, axis=0).max() < 1e-6 * np.abs(a).max()
+    assert np.linalg.norm(V.T @ V - np.eye(k)) < 1e-10

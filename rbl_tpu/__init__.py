@@ -31,6 +31,8 @@ from .ops.spmm.operator import (
     as_operator,
 )
 from .ops.spmm.ell import SparseEllOperator
+from .ops.spmm.dia import DiaOperator
+from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, rbl
 
@@ -40,6 +42,8 @@ __all__ = [
     "DiagonalOperator",
     "DenseOperator",
     "SparseEllOperator",
+    "DiaOperator",
+    "BlockSparseOperator",
     "Laplacian2D",
     "Laplacian3D",
     "as_operator",

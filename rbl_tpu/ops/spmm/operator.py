@@ -178,16 +178,59 @@ class Laplacian3D(LinearOperator):
         return out.reshape(-1, b)
 
 
-def as_operator(A, dtype=None) -> LinearOperator:
+def _pick_sparse_format(A, dtype) -> str:
+    """Choose the TPU-native layout for a scipy sparse matrix.
+
+    Measured on TPU v5e (9-diagonal banded, n = 131072, b = 8):
+    DIA 1.09 Gnnz/s > BSR/Pallas 0.29 > ELL scan 0.20 — so banded matrices
+    (few populated diagonals) go to DIA; block-structured matrices with
+    adequate tile fill go to the Pallas BSR kernel (f32/bf16 only — the MXU
+    has no f64); everything else to the portable ELL scan."""
+    import numpy as _np
+
+    from .dia import count_diagonals
+
+    n = A.shape[0]
+    coo = A.tocoo()
+    if count_diagonals(A) <= 64:
+        return "dia"
+    itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 8
+    if jax.default_backend() == "tpu" and itemsize <= 4:
+        nb = -(-n // 128)
+        blocks = len(
+            _np.unique(
+                (coo.row // 128).astype(_np.int64) * nb + coo.col // 128
+            )
+        )
+        fill = A.nnz / max(blocks * 128 * 128, 1)
+        if fill >= 0.02:
+            return "bsr"
+    return "ell"
+
+
+def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
     """Coerce a user-supplied matrix into a LinearOperator.
 
     Accepts: LinearOperator (returned as-is), dense ndarray/jax array,
-    scipy.sparse matrix (converted to the ELL operator), 1-D array
-    (diagonal).
+    scipy.sparse matrix, 1-D array (diagonal).  Sparse matrices pick the
+    TPU-native layout automatically ("auto"): DIA for banded, Pallas BSR
+    for block-structured (TPU, ≤f32), ELL otherwise; or force one with
+    format="dia" | "bsr" | "ell".
     """
     if isinstance(A, LinearOperator):
         return A
     if hasattr(A, "tocsr"):  # scipy.sparse
+        fmt = format if format != "auto" else _pick_sparse_format(A, dtype)
+        if fmt == "dia":
+            from .dia import DiaOperator
+
+            return DiaOperator.from_scipy(A, dtype=dtype)
+        if fmt == "bsr":
+            from .pallas_bsr import BlockSparseOperator
+
+            return BlockSparseOperator.from_scipy(
+                A, dtype=dtype or jnp.float32
+            )
         from .ell import SparseEllOperator
 
         return SparseEllOperator.from_scipy(A.tocsr(), dtype=dtype)

@@ -1,0 +1,108 @@
+"""Sparse-format operator tests: DIA, blocked-ELL/Pallas BSR (interpret
+mode on the CPU test backend), and the auto format selection.  The
+reference's only sparse layout is CSC dispatched to vendor libraries
+(RBL_gpu.jl:209); here each TPU-native layout is property-tested against
+the scipy ground truth."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import rbl_tpu as rt
+from rbl_tpu.ops.spmm.dia import DiaOperator, count_diagonals
+from rbl_tpu.ops.spmm.ell import SparseEllOperator
+from rbl_tpu.ops.spmm.pallas_bsr import BlockSparseOperator
+
+
+def _banded(n, offs, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.diags([rng.standard_normal(n) for _ in offs], offs, shape=(n, n))
+    return ((A + A.T) * 0.5).tocsr()
+
+
+def _random_sym(n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=density, random_state=rng)
+    return ((A + A.T) * 0.5).tocsr()
+
+
+@pytest.mark.parametrize("offs", [[0], [0, 1, -1], [0, 3, -3, 40, -40]])
+def test_dia_matches_scipy(offs):
+    n = 200
+    A = _banded(n, offs)
+    op = DiaOperator.from_scipy(A)
+    X = np.random.default_rng(1).standard_normal((n, 5))
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A @ X, atol=1e-12)
+
+
+def test_dia_rejects_dense_diag_structure():
+    A = _random_sym(300, 0.5, seed=2)
+    with pytest.raises(ValueError):
+        DiaOperator.from_scipy(A, max_diags=16)
+
+
+def test_count_diagonals():
+    A = _banded(100, [0, 2, -2])
+    assert count_diagonals(A) == 3
+
+
+@pytest.mark.parametrize("n", [100, 300, 517])
+def test_bsr_pallas_matches_scipy_interpret(n):
+    A = _random_sym(n, 0.02, seed=3)
+    op = BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)
+    X = np.random.default_rng(4).standard_normal((n, 8)).astype(np.float32)
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    ref = (A @ X.astype(np.float64)).astype(np.float64)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(Y - ref).max() / scale < 1e-5
+
+
+def test_bsr_blocked_ell_format_roundtrip():
+    """The blocked-ELL arrays must reconstruct A exactly (up to the f32
+    rounding of the stored values)."""
+    from rbl_tpu.ops.spmm.pallas_bsr import _blocked_ell_from_scipy
+
+    A = _random_sym(300, 0.05, seed=5)
+    bc, bv, nb, ncb, L = _blocked_ell_from_scipy(A, 128, 128, np.float64)
+    D = np.zeros((nb * 128, ncb * 128))
+    for i in range(nb):
+        for j in range(L):
+            D[i * 128 : (i + 1) * 128, bc[i, j] * 128 : (bc[i, j] + 1) * 128] += bv[i, j]
+    np.testing.assert_allclose(D[:300, :300], A.toarray(), atol=1e-14)
+
+
+def test_ell_matches_scipy():
+    n = 250
+    A = _random_sym(n, 0.03, seed=6)
+    op = SparseEllOperator.from_scipy(A)
+    X = np.random.default_rng(7).standard_normal((n, 4))
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A @ X, atol=1e-12)
+
+
+def test_as_operator_auto_selects_dia():
+    A = _banded(400, [0, 1, -1, 7, -7])
+    op = rt.as_operator(A)
+    assert isinstance(op, DiaOperator)
+
+
+def test_as_operator_auto_falls_back_to_ell_on_cpu():
+    """Scattered sparsity with >64 diagonals on the CPU backend → ELL."""
+    A = _random_sym(400, 0.05, seed=8)
+    op = rt.as_operator(A)
+    assert isinstance(op, SparseEllOperator)
+
+
+def test_dia_solver_end_to_end():
+    """Full RBL solve through the DIA path: eigenvalues of a known banded
+    matrix vs numpy."""
+    n = 400
+    A = _banded(n, [0, 1, -1], seed=9)
+    w = np.linalg.eigvalsh(A.toarray())
+    idx = np.argsort(-np.abs(w))[:4]
+    expect = w[idx]
+    res = rt.rbl(rt.as_operator(A), 4, 4)
+    np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-9)

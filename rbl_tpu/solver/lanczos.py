@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from ..config import RBLConfig
 from ..ops.band import BlockTridiagonalT
-from ..ops.eig import check_convergence, eig_banded_host, sort_eig_abs
+from ..ops.eig import (
+    check_convergence,
+    eig_banded_host,
+    eig_banded_values_topk,
+    sort_eig_abs,
+)
 from ..ops.qr import block_qr
 from ..ops.reorth import local_reorth, partial_reorth
 from ..ops.spmm.operator import LinearOperator, _pet
@@ -77,6 +82,88 @@ def recurrence_step_fn(op: LinearOperator, Qi_b, Qprev_b, Bi, cdt, qr_method):
 
 _first_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(first_step_fn)
 _recurrence_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(recurrence_step_fn)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cdt", "qr_method", "nsteps", "reorth_pattern", "deflate_pattern",
+        "loc_passes",
+    ),
+    donate_argnums=(1,),
+)
+def _sweep_chunk(
+    op: LinearOperator,
+    basis_buf,
+    Qi,
+    Qprev,
+    Bi,
+    col0,
+    lock_basis,
+    *,
+    cdt,
+    qr_method,
+    nsteps,
+    reorth_pattern,
+    deflate_pattern,
+    loc_passes,
+):
+    """``nsteps`` Lanczos iterations fused into ONE dispatch.
+
+    The reference's GPU loop syncs to the host every iteration to grow T
+    (RBL_gpu.jl:159-161,185) — cheap over PCIe, but on a remote-attached
+    TPU every device→host transfer costs a full RPC round-trip (~30 ms
+    measured), which dominated time-to-solution.  Fusing the sweep between
+    eigenvalue polls means the n-sized state (including the donated basis
+    buffer, updated in place) never leaves the device, and the b×b T blocks
+    of all nsteps iterations come back in a single stacked transfer.
+
+    reorth_pattern/deflate_pattern: static booleans per step (the iteration
+    cadences i % 2 / i % 3, resolved at trace time).
+    Returns (basis_buf, Qi, Qprev, Bi, TB) with TB = (2·nsteps, b, b):
+    TB[2s] = A_i, TB[2s+1] = B_{i+1} of step s."""
+    b = Qi.shape[1]
+    out = []
+    for s in range(nsteps):
+        if deflate_pattern[s] and lock_basis is not None:
+            from ..ops.reorth import deflate
+
+            Qi = deflate(lock_basis, Qi)
+            Qprev = deflate(lock_basis, Qprev)
+        if reorth_pattern[s]:
+            Qi, Qprev = partial_reorth(basis_buf, Qi, Qprev, qr_method=qr_method)
+        Qi = local_reorth(Qi, Qprev, passes=loc_passes, qr_method=qr_method)
+        basis_buf = jax.lax.dynamic_update_slice(
+            basis_buf,
+            Qprev.astype(basis_buf.dtype),
+            (jnp.int32(0), col0 + jnp.int32(s * b)),
+        )
+        Qnext, Bnext, Ai = recurrence_step_fn(
+            op, Qi, Qprev, Bi, cdt=cdt, qr_method=qr_method
+        )
+        out.append(Ai)
+        out.append(Bnext)
+        Qprev, Qi, Bi = Qi, Qnext, Bnext
+    TB = jnp.stack(out)
+    return basis_buf, Qi, Qprev, Bi, TB
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _zero_cols_range(buf, lo, hi):
+    """Zero basis columns [lo, hi) — breakdown / speculation rewind.
+    Mask-multiply instead of dynamic_update_slice so the (rare) rewind
+    widths don't each trigger a fresh compile."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, buf.shape[1]), 1)
+    keep = (cols < lo) | (cols >= hi)
+    return buf * keep.astype(buf.dtype)
+
+
+@partial(jax.jit, static_argnames=("b",))
+def _read_block(buf, col0, b):
+    """Slice one (n, b) block out of the basis buffer (stays on device)."""
+    return jax.lax.dynamic_slice(
+        buf, (jnp.int32(0), col0), (buf.shape[0], b)
+    )
 
 
 @partial(jax.jit, static_argnames=("qr_method",))
@@ -187,86 +274,169 @@ def lanczos_iteration(
         key = jax.random.PRNGKey(cfg.seed + 1)
     eps = float(jnp.finfo(cdt).eps)
 
-    def _maybe_rerandomize(Qn, Bn_host, tscale, i):
-        """Breakdown guard: tiny ‖B_i‖ relative to T's scale means the new
-        block is numerically rank-deficient noise — replace it."""
-        nonlocal key
-        if tscale > 0 and np.abs(Bn_host).max() < np.sqrt(eps) * tscale:
-            key, sub = jax.random.split(key)
-            with timer.section("rerandomize"):
-                return _rerandomize_block(
-                    store.view(), Qi, Qprev, sub, qr_method=qr_method
-                )
-        return Qn
-
     # --- first iteration, unrolled ---
     with timer.section("recurrence"):
         Qnext, Bnext, Ai = _first_step(op, Qi, cdt=cdt, qr_method=qr_method)
-    T.append_diag(np.asarray(Ai))
-    T.set_subdiag(np.asarray(Bnext), 0)
-    tscale = np.abs(np.asarray(Ai)).max()
+    AB0 = np.asarray(jnp.stack([Ai, Bnext.astype(Ai.dtype)]))  # one transfer
+    T.append_diag(AB0[0])
+    T.set_subdiag(AB0[1], 0)
+    tscale = np.abs(AB0[0]).max()
+    B_last = AB0[1]  # host copy of the newest B (degenerate-cap fallback)
     Qprev, Qi, Bi = Qi, Qnext, Bnext
 
+    # --- chunked, speculatively pipelined sweep ---
+    # Every device→host transfer over a remote-attached TPU costs a full
+    # RPC round-trip (~30 ms measured on the axon tunnel) — per-iteration
+    # T assembly would dominate time-to-solution (the reference's
+    # per-iteration D→H of b×b blocks, RBL_gpu.jl:159-161,185, is nearly
+    # free over PCIe but is the wrong grain here).  So: (a) one fused
+    # dispatch per eig-poll window, returning all of its T blocks in a
+    # single stacked transfer; (b) the NEXT chunk is dispatched before the
+    # current chunk's results are read back, so the device sweeps window
+    # c+1 while the host factorizes T for window c.  Speculation only
+    # wastes work on the final window (convergence) or on breakdown — both
+    # rare, both handled by zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
+    w_prev = None      # screened top-k Ritz values from the previous poll
     converged = False
-    i = 1
-    while i * b < max_kryl:
-        i += 1
-        if i % cfg.partial_reorth_cadence == 0:
-            with timer.section("partial_reorth"):
-                Qi, Qprev = _partial_reorth_step(
-                    store.view(), Qi, Qprev, qr_method=qr_method
-                )
-        if lock_basis is not None and i % cfg.restart_reorth_cadence == 0:
-            from ..ops.reorth import deflate
-            with timer.section("deflate"):
-                Qi = deflate(lock_basis, Qi)
-                Qprev = deflate(lock_basis, Qprev)
-        with timer.section("local_reorth"):
-            Qi = _local_reorth_step(
-                Qi, Qprev, passes=cfg.loc_reorth_passes, qr_method=qr_method
+    i = 1              # Lanczos iterations completed (host view)
+    i_max = max_kryl // b
+    i_next = 2         # first iteration of the next chunk to dispatch
+    dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
+    pr, dc = cfg.partial_reorth_cadence, cfg.restart_reorth_cadence
+
+    def dispatch():
+        """Launch one chunk against the current device state (async)."""
+        nonlocal dev, i_next
+        i0 = i_next
+        S = min(cfg.eig_poll_cadence, i_max - i0 + 1)
+        reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
+        deflate_pattern = tuple(
+            lock_basis is not None and (i0 + s) % dc == 0 for s in range(S)
+        )
+        store._ensure(store.ncols + S * b)
+        col0_abs = store.ncols
+        with timer.section("sweep_dispatch"):
+            buf, Qi_n, Qprev_n, Bi_n, TB = _sweep_chunk(
+                op, store.buf, dev[0], dev[1], dev[2],
+                jnp.int32(col0_abs), lock_basis,
+                cdt=cdt, qr_method=qr_method, nsteps=S,
+                reorth_pattern=reorth_pattern,
+                deflate_pattern=deflate_pattern,
+                loc_passes=cfg.loc_reorth_passes,
             )
-        store.append(Qprev)  # block i-1 is final from here on
-        with timer.section("recurrence"):
-            Qnext, Bnext, Ai = _recurrence_step(
-                op, Qi, Qprev, Bi, cdt=cdt, qr_method=qr_method
+        store.buf = buf
+        store.ncols = col0_abs + S * b
+        dev = (Qi_n, Qprev_n, Bi_n)
+        i_next = i0 + S
+        return dict(i0=i0, S=S, col0=col0_abs, TB=TB,
+                    Qprev=Qprev_n, Bi=Bi_n)
+
+    def rewind_to(ncols_new):
+        """Zero basis columns beyond ncols_new (discard speculated /
+        degenerate writes) and reset the column count."""
+        if store.ncols > ncols_new:
+            store.buf = _zero_cols_range(
+                store.buf, jnp.int32(ncols_new), jnp.int32(store.ncols)
             )
-        Ai_host = np.asarray(Ai)
-        Bn_host = np.asarray(Bnext)
-        T.append_diag(Ai_host)
-        tscale = max(tscale, np.abs(Ai_host).max())
-        Qnext = _maybe_rerandomize(Qnext, Bn_host, tscale, i)
-        # Poll on cadence (reference RBL.jl:106), or opportunistically when
-        # ‖B_i‖ collapses — a sharp drop means the Krylov space is nearly
-        # invariant and the Rayleigh–Ritz values are ripe *now*; waiting for
-        # the cadence lets rounding noise re-seed converged ("ghost")
-        # directions that can stall the all-or-nothing convergence test.
-        residual_collapsed = np.abs(Bn_host).max() < 1e-4 * tscale
-        if i * b > k and (i % cfg.eig_poll_cadence == 0 or residual_collapsed):
-            with timer.section("eig"):
-                w, V = eig_banded_host(T.view())
-                w_sel, V_sel = sort_eig_abs(w, V, k)
-            if check_convergence(Bn_host, V_sel, b, k, cfg.tol):
-                from ..ops.eig import ritz_residual_bounds
-                bounds = ritz_residual_bounds(Bn_host, V_sel, b)
-                converged = True
-                store.append(Qi)  # block i completes the basis
+            store.ncols = ncols_new
+
+    spec = dispatch() if i_next <= i_max else None
+    while spec is not None:
+        cur = spec
+        spec = dispatch() if i_next <= i_max else None  # speculative
+        with timer.section("transfer"):
+            TB = np.asarray(cur["TB"])  # (2S, b, b): [A_s, B_s] pairs
+        i0, S, col0_abs = cur["i0"], cur["S"], cur["col0"]
+        # host-side T assembly + breakdown scan.  Step s is iteration
+        # j = i0+s; it consumed (Q_j, Q_{j-1}, B_j), wrote Q_{j-1} to the
+        # basis, and produced (A_j, B_{j+1}).
+        collapse_at = None
+        for s in range(S):
+            A_s, B_s = TB[2 * s], TB[2 * s + 1]
+            T.append_diag(A_s)
+            tscale = max(tscale, np.abs(A_s).max())
+            if np.abs(B_s).max() < np.sqrt(eps) * tscale:
+                collapse_at = s  # B_{j+1} ≈ 0: steps after s are noise
                 break
-        T.set_subdiag(Bn_host, i - 1)
-        Qprev, Qi, Bi = Qi, Qnext, Bnext
+            if s < S - 1:
+                T.set_subdiag(B_s, i0 + s - 1)
+        done = S if collapse_at is None else collapse_at + 1
+        i = i0 + done - 1
+        B_last = TB[2 * (done - 1) + 1]
+        Qprev = cur["Qprev"]
+
+        if collapse_at is not None:
+            # Breakdown: an (almost) invariant subspace was hit — the
+            # reference has no handling for this (SURVEY §5).  Discard the
+            # degenerate tail and the speculated chunk, restore the
+            # invariant "stored = Q_1..Q_{i-1}, Qprev = Q_i", and replace
+            # the dead block with fresh orthogonalized randomness.  T keeps
+            # the honest (tiny) B out of its band — a √eps-accurate
+            # deflation split.
+            if collapse_at < S - 1:
+                # Q_i sits at step s*+1's write; read it before rewinding
+                qcol = col0_abs + (collapse_at + 1) * b
+                Qprev = _read_block(store.buf, jnp.int32(qcol), b=b)
+            rewind_to((i - 1) * b)
+            key, sub = jax.random.split(key)
+            with timer.section("rerandomize"):
+                Qi_new = _rerandomize_block(
+                    store.view(), dev[0], Qprev, sub, qr_method=qr_method
+                )
+            dev = (Qi_new, Qprev, jnp.asarray(B_last))
+            i_next = i + 1
+            spec = None  # speculated chunk consumed garbage state
+
+        # poll at the chunk boundary (reference cadence RBL.jl:106), and
+        # immediately on breakdown — the Krylov space is nearly invariant
+        # then, so the Rayleigh–Ritz values are ripe *now*.  Polls are
+        # value-screened: dsbevd's values-only path is ~6x cheaper than the
+        # full factorization, and the residual bounds (which need the
+        # eigenvectors' last b rows) cannot pass while the Ritz values are
+        # still moving — so vectors are computed only once the top-k values
+        # have stabilized to within tol·|λ|max between polls.
+        if i * b > k:
+            with timer.section("eig_screen"):
+                w_scr = eig_banded_values_topk(T.view(), k)
+            stable = (
+                w_prev is not None
+                and len(w_prev) == len(w_scr)
+                and np.max(np.abs(w_scr - w_prev))
+                <= cfg.tol * max(np.abs(w_scr).max(), np.finfo(np.float64).tiny)
+            )
+            w_prev = w_scr
+            if stable or collapse_at is not None:
+                with timer.section("eig"):
+                    w, V = eig_banded_host(T.view())
+                    w_sel, V_sel = sort_eig_abs(w, V, k)
+                if check_convergence(B_last, V_sel, b, k, cfg.tol):
+                    from ..ops.eig import ritz_residual_bounds
+                    bounds = ritz_residual_bounds(B_last, V_sel, b)
+                    converged = True
+                    rewind_to((i - 1) * b)  # drop the speculated chunk
+                    break
+        if collapse_at is None:
+            T.set_subdiag(B_last, i - 1)
+        if spec is None and i_next <= i_max and not converged:
+            spec = dispatch()
+
+    # the newest block Q_i completes the basis (cols = i·b); on the
+    # converged path this mirrors the reference's final push (RBL.jl:113),
+    # on the cap path its final append before recovery
+    store.append(Qprev)
 
     if not converged:
         # Cap reached: final Rayleigh–Ritz with everything we have.  (The
         # reference returns the last poll's stale factorization here —
         # RBL.jl:116 — which can disagree with the stored basis length; we
         # re-solve so D/V always match the basis.)
-        store.append(Qprev)
         i_final = store.ncols // b
         with timer.section("eig"):
             w, V = eig_banded_host(T.view(store.ncols))
             w_sel, V_sel = sort_eig_abs(w, V, k)
         from ..ops.eig import ritz_residual_bounds
-        bounds = ritz_residual_bounds(np.asarray(Bi), V_sel, b)
+        bounds = ritz_residual_bounds(np.asarray(B_last), V_sel, b)
         i = i_final
 
     return w_sel, V_sel, T, np.asarray(bounds) if bounds is not None else None, converged, i

@@ -172,3 +172,29 @@ def test_laplacian_eigen_end_to_end():
     expect = spla.eigsh(A, k=k, which="LM", return_eigenvectors=False)[::-1]
     res = rt.rbl(lap, k, 4)
     np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-9)
+
+
+def test_eig_banded_topk_matches_full():
+    """The selective top-k path (eigvals + index-range inverse iteration)
+    must reproduce sort_eig_abs over the full dsbevd factorization,
+    including indefinite spectra where the top-k straddles both ends."""
+    from rbl_tpu.ops.eig import eig_banded_topk
+
+    rng = np.random.default_rng(11)
+    b, m = 3, 60
+    band = np.zeros((b + 1, m))
+    band[0] = rng.standard_normal(m) * 5.0  # indefinite diagonal
+    band[1:, : m - 1] = 0.3 * rng.standard_normal((b, m - 1))
+    w, V = eig_banded_host(band)
+    for k in [1, 5, 17]:
+        w_ref, V_ref = sort_eig_abs(w, V, k)
+        w_k, V_k = eig_banded_topk(band, k)
+        np.testing.assert_allclose(w_k, w_ref, atol=1e-12)
+        # eigenvectors up to sign
+        for j in range(k):
+            d = min(np.linalg.norm(V_k[:, j] - V_ref[:, j]),
+                    np.linalg.norm(V_k[:, j] + V_ref[:, j]))
+            assert d < 1e-9
+    # k == m degenerates to the full solve
+    w_k, V_k = eig_banded_topk(band, m)
+    np.testing.assert_allclose(w_k, sort_eig_abs(w, V, m)[0], atol=1e-12)

@@ -57,6 +57,10 @@ class RBLConfig:
     eig_backend:
         "banded_host": LAPACK-banded eigensolver (scipy ``eig_banded``) on the
         host — the same dsbev path as the reference (common.jl:28-48).
+        "native": the in-repo C++ tred2/tql2 banded solver
+        (native/band_eig.cpp, loaded via ctypes) — the framework's own
+        native replacement for the reference's raw LAPACK ccall; falls back
+        to scipy when no toolchain is available.
         "device": dense symmetric ``jnp.linalg.eigh`` of the expanded
         block-tridiagonal T on device (usable inside fully-jitted sweeps).
     min_basis_cols:

@@ -25,9 +25,19 @@ import scipy.linalg
 import jax.numpy as jnp
 
 
-def eig_banded_host(band: np.ndarray):
-    """All eigenpairs of the banded symmetric T (LAPACK sbevd path).
-    Returns (w ascending, V) as numpy f64."""
+def eig_banded_host(band: np.ndarray, backend: str = "scipy"):
+    """All eigenpairs of the banded symmetric T.  Returns (w ascending, V)
+    as numpy f64.
+
+    backend="scipy": LAPACK dsbevd via scipy (default — fastest).
+    backend="native": the in-repo C++ tred2/tql2 solver (native/band_eig.cpp)
+    — the framework's own replacement for the reference's raw LAPACK ccall
+    (common.jl:28-48); falls back to scipy if the library can't build."""
+    if backend == "native":
+        from ..native import available, band_eigh
+
+        if available():
+            return band_eigh(band)
     w, V = scipy.linalg.eig_banded(band.astype(np.float64), lower=True)
     return w, V
 

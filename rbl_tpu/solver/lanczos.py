@@ -267,6 +267,7 @@ def lanczos_iteration(
     n = op.n
     cdt = jnp.dtype(cfg.compute_dtype)
     qr_method = cfg.resolved_qr_method()
+    eig_bk = "native" if cfg.eig_backend == "native" else "scipy"
     max_kryl = min(cfg.max_kryl_dim, ((n + b - 1) // b) * b)
 
     T = BlockTridiagonalT(b, max_cols=max_kryl + b)
@@ -408,7 +409,7 @@ def lanczos_iteration(
             w_prev = w_scr
             if stable or collapse_at is not None:
                 with timer.section("eig"):
-                    w, V = eig_banded_host(T.view())
+                    w, V = eig_banded_host(T.view(), backend=eig_bk)
                     w_sel, V_sel = sort_eig_abs(w, V, k)
                 if check_convergence(B_last, V_sel, b, k, cfg.tol):
                     from ..ops.eig import ritz_residual_bounds
@@ -433,7 +434,7 @@ def lanczos_iteration(
         # re-solve so D/V always match the basis.)
         i_final = store.ncols // b
         with timer.section("eig"):
-            w, V = eig_banded_host(T.view(store.ncols))
+            w, V = eig_banded_host(T.view(store.ncols), backend=eig_bk)
             w_sel, V_sel = sort_eig_abs(w, V, k)
         from ..ops.eig import ritz_residual_bounds
         bounds = ritz_residual_bounds(np.asarray(B_last), V_sel, b)

@@ -14,8 +14,21 @@ import scipy.sparse as sp
 
 
 def load_matrix(path: str) -> sp.csr_matrix:
-    """Load a sparse symmetric matrix from .mtx/.mtx.gz or .mat."""
-    if path.endswith((".mtx", ".mtx.gz")):
+    """Load a sparse symmetric matrix from .mtx/.mtx.gz or .mat.
+
+    Plain .mtx files go through the native C++ MatrixMarket parser
+    (native/mmio.cpp — one buffered read, in-place tokenization; the
+    SuiteSparse benchmark matrices are 100M+ text tokens and scipy's
+    Python-side reader is the harness bottleneck), with scipy.io.mmread as
+    the fallback for exotic flavors or a missing toolchain."""
+    if path.endswith(".mtx"):
+        try:
+            from ..native import read_matrix_market
+
+            A = read_matrix_market(path)
+        except (RuntimeError, OSError):
+            A = scipy.io.mmread(path)
+    elif path.endswith(".mtx.gz"):
         A = scipy.io.mmread(path)
     elif path.endswith(".mat"):
         m = scipy.io.loadmat(path)

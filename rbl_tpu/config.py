@@ -78,6 +78,13 @@ class RBLConfig:
     hbm_budget_fraction:
         Fraction of free device memory the Krylov basis is allowed to use
         (reference uses 0.8 of free VRAM, RBL_gpu.jl:96).
+    basis_device_cap_cols:
+        Optional cap on device-resident basis columns.  Beyond it the store
+        offloads the oldest half to pinned host memory and streams it back
+        once per reorth window — the reference's hybrid VRAM/pinned-RAM
+        hierarchy (RBL_gpu.jl:59-81,95-104,168-169) re-designed with bulk
+        compaction instead of per-block streaming.  None (default) keeps
+        the whole basis in HBM.
     """
 
     block_size: int = 4
@@ -95,6 +102,7 @@ class RBLConfig:
     mesh: Optional[Any] = None
     rows_axis: str = "rows"
     hbm_budget_fraction: float = 0.8
+    basis_device_cap_cols: Optional[int] = None
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)

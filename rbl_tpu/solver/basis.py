@@ -6,21 +6,34 @@ device buffer (gpu_buffer_size, RBL_gpu.jl:95-104) — and streams overflow
 blocks host→device inside partial reorth (hybrid_part_reorth!,
 RBL_gpu.jl:59-81).
 
-TPU-native replacement: one zero-padded device buffer of shape
-(n, capacity), grown geometrically (×2) and updated in place via
-donated ``dynamic_update_slice``.  Zero padding makes the fused
-reorthogonalization contraction static-shaped for XLA while contributing
-exactly nothing numerically; geometric growth keeps the number of distinct
-compiled shapes logarithmic.  Under a mesh the buffer rows are sharded like
-every other n-sized array, which *is* the "sharded Krylov-basis store" of
-SURVEY §2c — partial reorth then reduces b×b Grams with a single psum
-inserted by GSPMD.  Optional host offload (``memory_kind='pinned_host'``)
-mirrors the reference's pinned-RAM overflow for capacity beyond HBM.
+TPU-native replacement, two tiers:
+
+- **Device tier**: one zero-padded buffer of shape (n, capacity), grown
+  geometrically (×2) and updated in place via donated
+  ``dynamic_update_slice``.  Zero padding makes the fused
+  reorthogonalization contraction static-shaped for XLA while contributing
+  exactly nothing numerically; geometric growth keeps the number of
+  distinct compiled shapes logarithmic.  Under a mesh the buffer rows are
+  sharded like every other n-sized array, which *is* the "sharded
+  Krylov-basis store" of SURVEY §2c — partial reorth then reduces b×b Grams
+  with a single psum inserted by GSPMD.
+
+- **Host tier** (opt-in via ``device_cap_cols``): when the device tier hits
+  its cap it *compacts* — the oldest half moves to a pinned-host panel
+  (``memory_kind='pinned_host'``, a device-side DMA, no host round-trip)
+  and the newest half shifts to the buffer front.  This mirrors the
+  reference's pinned-RAM overflow but amortizes the traffic: one bulk panel
+  copy per half-capacity of appends instead of per-block streaming, and
+  overflow panels re-enter the device once per reorth window rather than
+  per iteration.  Panels keep global column order, so Ritz recovery is
+  two contiguous GEMM groups (host panels + device tier) with no
+  permutation.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,47 +51,130 @@ def _grow(buf, new_cols):
     return jnp.pad(buf, ((0, 0), (0, new_cols - cols)))
 
 
-class BasisStore:
-    """Zero-padded, geometrically grown (n, capacity) basis buffer."""
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("shift",))
+def _compact(buf, shift):
+    """Drop the oldest ``shift`` columns: move cols [shift, C) to the
+    front, zero the tail."""
+    moved = buf[:, shift:]
+    return jnp.pad(moved, ((0, 0), (0, shift)))
 
-    def __init__(self, n, block_size, max_cols, dtype, init_cols=32, sharding=None):
+
+@partial(jax.jit, static_argnames=("width",))
+def _slice_cols(buf, width):
+    return buf[:, :width]
+
+
+class BasisStore:
+    """Zero-padded, geometrically grown (n, capacity) basis buffer with
+    optional pinned-host overflow tier."""
+
+    def __init__(self, n, block_size, max_cols, dtype, init_cols=32,
+                 sharding=None, device_cap_cols: Optional[int] = None,
+                 offload_memory_kind: str = "pinned_host"):
         b = block_size
         init_cols = max(b, min(max_cols, ((init_cols + b - 1) // b) * b))
         self.n = n
         self.b = b
         self.max_cols = max_cols
-        self.ncols = 0
+        self.ncols = 0          # total stored columns (both tiers)
+        self.dev_base = 0       # global column index of device col 0
         self.sharding = sharding
+        if device_cap_cols is not None:
+            device_cap_cols = max(((device_cap_cols // b) * b), 4 * b)
+        self.device_cap_cols = device_cap_cols
+        self.offload_memory_kind = offload_memory_kind
+        self.host_panels: list = []   # pinned-host arrays, oldest first
+        if device_cap_cols is not None:
+            init_cols = min(init_cols, device_cap_cols)
         buf = jnp.zeros((n, init_cols), dtype=dtype)
         if sharding is not None:
             buf = jax.device_put(buf, sharding)
         self.buf = buf
 
+    # --- tier bookkeeping -------------------------------------------------
+
     @property
     def capacity(self):
+        """Device-tier capacity (columns)."""
         return self.buf.shape[1]
 
-    def _ensure(self, needed):
-        if needed <= self.capacity:
+    @property
+    def dev_ncols(self):
+        """Columns currently stored in the device tier."""
+        return self.ncols - self.dev_base
+
+    @property
+    def host_ncols(self):
+        return self.dev_base
+
+    def _host_sharding(self):
+        if self.sharding is not None:
+            return self.sharding.with_memory_kind(self.offload_memory_kind)
+        dev = jax.devices()[0]
+        try:
+            return jax.sharding.SingleDeviceSharding(
+                dev, memory_kind=self.offload_memory_kind
+            )
+        except Exception:  # backend without memory kinds: default memory
+            return jax.sharding.SingleDeviceSharding(dev)
+
+    def _offload_oldest(self, keep_cols: int) -> None:
+        """Move device cols [0, dev_ncols - keep_cols) to a host panel and
+        shift the remainder to the buffer front."""
+        shift = self.dev_ncols - keep_cols
+        panel = _slice_cols(self.buf, shift)
+        try:
+            panel = jax.device_put(panel, self._host_sharding())
+        except Exception:
+            panel = jax.device_put(panel)  # no pinned_host on this backend
+        jax.block_until_ready(panel)  # materialize before donating buf
+        self.host_panels.append(panel)
+        self.buf = _compact(self.buf, shift=shift)
+        self.dev_base += shift
+
+    def _ensure(self, needed_total: int) -> None:
+        """Make room in the device tier for ``needed_total`` total columns."""
+        needed_dev = needed_total - self.dev_base
+        cap = self.device_cap_cols
+        if cap is not None and needed_dev > cap:
+            # compact: keep the newest half (always ≥ a few blocks so
+            # breakdown rewinds and Qprev re-reads stay device-resident)
+            keep = max(cap // 2 // self.b * self.b, 2 * self.b)
+            self._offload_oldest(keep)
+            needed_dev = needed_total - self.dev_base
+        if needed_dev <= self.capacity:
             return
         new_cols = self.capacity
-        while new_cols < needed:
+        while new_cols < needed_dev:
             new_cols *= 2
         new_cols = min(new_cols, self.max_cols)
+        if cap is not None:
+            new_cols = min(new_cols, cap)
         buf = _grow(self.buf, new_cols=new_cols)
         if self.sharding is not None:
             buf = jax.device_put(buf, self.sharding)
         self.buf = buf
 
+    # --- API ----------------------------------------------------------------
+
     def append(self, block) -> None:
         self._ensure(self.ncols + self.b)
-        self.buf = _write_block(self.buf, block, jnp.int32(self.ncols))
+        self.buf = _write_block(
+            self.buf, block, jnp.int32(self.ncols - self.dev_base)
+        )
         self.ncols += self.b
 
     def view(self):
-        """The full zero-padded buffer (safe operand for fused reorth)."""
+        """The device-tier zero-padded buffer (safe operand for fused
+        reorth)."""
         return self.buf
+
+    def host_tier(self):
+        """The pinned-host overflow panels, oldest first (may be empty)."""
+        return self.host_panels
 
     def reset(self):
         self.buf = jnp.zeros_like(self.buf)
         self.ncols = 0
+        self.dev_base = 0
+        self.host_panels = []

@@ -223,11 +223,28 @@ def _recover(basis_buf, Vk_padded, cdt_scale=None):
 
 
 def recover_eigvec(store: BasisStore, Vk: np.ndarray, k: int) -> jax.Array:
-    """Recover k Ritz vectors from the basis store; Vk has store.ncols rows."""
-    pad = store.capacity - Vk.shape[0]
+    """Recover k Ritz vectors from the basis store; Vk has store.ncols rows.
+    Host-tier panels (columns [0, dev_base)) and the device tier (columns
+    [dev_base, ncols)) contribute contiguous GEMMs — the reference's
+    panelled GPU recovery + CPU overflow accumulation (RBL_gpu.jl:106-132)
+    with no per-block loop."""
+    Vk = np.asarray(Vk)
+    out = None
+    if store.host_ncols:
+        off = 0
+        for panel in store.host_tier():
+            w = panel.shape[1]
+            part = _recover(
+                jax.device_put(panel, store.buf.sharding),
+                jnp.asarray(Vk[off : off + w]),
+            )
+            out = part if out is None else out + part
+            off += w
+    dev_rows = Vk.shape[0] - store.dev_base
     Vk_p = np.zeros((store.capacity, Vk.shape[1]), dtype=Vk.dtype)
-    Vk_p[: Vk.shape[0]] = Vk
-    return _recover(store.view(), jnp.asarray(Vk_p))
+    Vk_p[:dev_rows] = Vk[store.dev_base :]
+    dev_part = _recover(store.view(), jnp.asarray(Vk_p))
+    return dev_part if out is None else out + dev_part
 
 
 def random_start_block(op: LinearOperator, key, b: int, cfg: RBLConfig,
@@ -317,10 +334,24 @@ def lanczos_iteration(
         )
         store._ensure(store.ncols + S * b)
         col0_abs = store.ncols
+        if store.host_ncols and reorth_pattern.count(True):
+            # hybrid reorth, host tier (reference hybrid_part_reorth!,
+            # RBL_gpu.jl:59-81): offloaded panels re-enter the device once
+            # per poll window and project the live blocks; the in-window
+            # reorth steps then only see the device tier
+            with timer.section("host_tier_reorth"):
+                from ..ops.reorth import project_out
+
+                Qi_h, Qprev_h = dev[0], dev[1]
+                for panel in store.host_tier():
+                    W = jnp.concatenate([Qi_h, Qprev_h], axis=1)
+                    W = project_out(jax.device_put(panel, store.buf.sharding), W)
+                    Qi_h, Qprev_h = W[:, :b], W[:, b:]
+                dev = (Qi_h, Qprev_h, dev[2])
         with timer.section("sweep_dispatch"):
             buf, Qi_n, Qprev_n, Bi_n, TB = _sweep_chunk(
                 op, store.buf, dev[0], dev[1], dev[2],
-                jnp.int32(col0_abs), lock_basis,
+                jnp.int32(col0_abs - store.dev_base), lock_basis,
                 cdt=cdt, qr_method=qr_method, nsteps=S,
                 reorth_pattern=reorth_pattern,
                 deflate_pattern=deflate_pattern,
@@ -335,10 +366,14 @@ def lanczos_iteration(
 
     def rewind_to(ncols_new):
         """Zero basis columns beyond ncols_new (discard speculated /
-        degenerate writes) and reset the column count."""
+        degenerate writes) and reset the column count.  Rewind targets are
+        always chunk-recent, hence device-resident (the store keeps at
+        least two chunks on device before offloading)."""
         if store.ncols > ncols_new:
             store.buf = _zero_cols_range(
-                store.buf, jnp.int32(ncols_new), jnp.int32(store.ncols)
+                store.buf,
+                jnp.int32(ncols_new - store.dev_base),
+                jnp.int32(store.ncols - store.dev_base),
             )
             store.ncols = ncols_new
 
@@ -378,7 +413,9 @@ def lanczos_iteration(
             if collapse_at < S - 1:
                 # Q_i sits at step s*+1's write; read it before rewinding
                 qcol = col0_abs + (collapse_at + 1) * b
-                Qprev = _read_block(store.buf, jnp.int32(qcol), b=b)
+                Qprev = _read_block(
+                    store.buf, jnp.int32(qcol - store.dev_base), b=b
+                )
             rewind_to((i - 1) * b)
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):

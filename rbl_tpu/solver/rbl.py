@@ -73,6 +73,7 @@ def rbl(
     store = BasisStore(
         n, b, max_cols=max_kryl + b, dtype=cfg.basis_dtype,
         init_cols=cfg.min_basis_cols, sharding=sharding,
+        device_cap_cols=cfg.basis_device_cap_cols,
     )
 
     w_sel, V_sel, T, bounds, converged, nblocks = lanczos_iteration(

@@ -198,3 +198,25 @@ def test_eig_banded_topk_matches_full():
     # k == m degenerates to the full solve
     w_k, V_k = eig_banded_topk(band, m)
     np.testing.assert_allclose(w_k, sort_eig_abs(w, V, m)[0], atol=1e-12)
+
+
+def test_basis_store_host_offload_solve():
+    """Two-tier basis store: a device cap far below the Krylov need forces
+    pinned-host offload + hybrid reorth + two-tier recovery; eigenpairs
+    must match the all-device solve (reference hybrid_part_reorth!
+    semantics, RBL_gpu.jl:59-81)."""
+    import rbl_tpu as rt
+
+    n, k, b = 600, 5, 4
+    d = np.linspace(1.0, 80.0, n) ** 2
+    base = rt.RBLConfig(block_size=b, max_kryl_dim=200)
+    res_full = rt.rbl(d, k, b, cfg=base)
+    res_off = rt.rbl(d, k, b, cfg=base.replace(basis_device_cap_cols=48))
+    np.testing.assert_allclose(
+        res_off.eigenvalues, res_full.eigenvalues, rtol=1e-10
+    )
+    Vo = np.asarray(res_off.eigenvectors)
+    resid = np.linalg.norm(
+        d[:, None] * Vo - Vo * res_off.eigenvalues[None, :], axis=0
+    )
+    assert resid.max() < 1e-6 * d.max()

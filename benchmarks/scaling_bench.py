@@ -1,0 +1,114 @@
+"""Scaling benchmark — sharded-step efficiency across mesh sizes.
+
+BASELINE.md north-star: "≥80% efficiency from 1 host to N ≥ 2 hosts
+(row-partitioned SpMM, sharded Krylov buffer)".  Real multi-chip hardware
+is not attached in this environment, so by default this runs the full
+sharded Lanczos step (halo-exchange SpMM + fused reorth + CholeskyQR2 with
+psum Grams) over 1/2/4/8 virtual CPU devices.  Virtual devices share the
+same physical cores, so raw weak-scaling numbers measure serialization,
+not interconnect efficiency; the honest virtual-mesh metric reported here
+is SERIALIZATION-NORMALIZED efficiency, ndev·T(1)/T(ndev) — the fraction
+of perfect serialization achieved, i.e. how little overhead the sharding
+machinery (halo ppermutes, psum Grams, GSPMD partitioning) adds beyond
+the unavoidable k-fold compute.  On a real pod slice the same script
+measures true weak scaling — no code changes.
+
+Usage:  python benchmarks/scaling_bench.py [--rows-per-dev 32768] [--b 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# must be set before jax initializes
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows-per-dev", type=int, default=32768)
+    p.add_argument("--b", type=int, default=8)
+    p.add_argument("--basis-cols", type=int, default=128)
+    p.add_argument("--reps", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from rbl_tpu.ops.reorth import local_reorth, partial_reorth
+    from rbl_tpu.parallel.dist_spmm import ShardedLaplacian2D
+    from rbl_tpu.parallel.mesh import make_row_mesh, row_sharding
+    from rbl_tpu.solver.lanczos import recurrence_step_fn
+
+    ndev_avail = len(jax.devices())
+    b = args.b
+    ny = 256
+    rows_per_dev = args.rows_per_dev
+
+    results = []
+    for ndev in [1, 2, 4, 8]:
+        if ndev > ndev_avail:
+            break
+        mesh = make_row_mesh(ndev)
+        nx = (rows_per_dev // ny) * ndev
+        n = nx * ny
+        op = ShardedLaplacian2D(nx=nx, ny=ny, mesh=mesh, _dtype=jnp.float32)
+        sh = row_sharding(mesh)
+        rng = np.random.default_rng(0)
+
+        @jax.jit
+        def step(basis, Qi, Qprev, Bi):
+            Qi, Qprev = partial_reorth(basis, Qi, Qprev, qr_method="cholqr2")
+            Qi = local_reorth(Qi, Qprev, passes=2, qr_method="cholqr2")
+            return recurrence_step_fn(
+                op, Qi, Qprev, Bi, cdt=jnp.dtype(jnp.float32),
+                qr_method="cholqr2",
+            )
+
+        basis = jax.device_put(
+            jnp.zeros((n, args.basis_cols), jnp.float32), sh
+        )
+        Qi = jax.device_put(
+            jnp.asarray(np.linalg.qr(rng.standard_normal((n, b)))[0],
+                        jnp.float32), sh)
+        Qprev = jax.device_put(
+            jnp.asarray(np.linalg.qr(rng.standard_normal((n, b)))[0],
+                        jnp.float32), sh)
+        Bi = jnp.asarray(rng.standard_normal((b, b)), jnp.float32)
+
+        out = step(basis, Qi, Qprev, Bi)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = step(basis, Qi, Qprev, Bi)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.reps
+        results.append((ndev, n, dt))
+        eff_ser = results[0][2] * ndev / dt * 100
+        print(f"devices={ndev}: n={n:>9}  step={dt*1e3:8.2f} ms  "
+              f"serialization-normalized eff={eff_ser:6.1f}%")
+
+    last = results[-1]
+    eff = results[0][2] * last[0] / last[2] if results else 0.0
+    print(json.dumps({
+        "metric": f"sharding_eff_virtual_{last[0]}dev",
+        "value": round(eff, 3), "unit": "x",
+        "note": "ndev*T(1)/T(ndev) on shared-core virtual devices",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,8 @@ Public surface (reference parity, SURVEY §1 L4):
   rbl_restarted / RBL_restarted — restarted+deflated  (restarted.jl:97,196)
   RBLConfig                — every knob the reference hardcodes
   operators                — DiagonalOperator, DenseOperator, SparseEllOperator,
-                             Laplacian2D/3D, BCOO/Pallas SpMM paths
+                             DiaOperator, BlockSparseOperator (Pallas BSR),
+                             Laplacian2D/3D; as_operator auto-selects
 """
 
 import jax as _jax

@@ -62,20 +62,23 @@ def _bsr_spmm_kernel(cols_ref, vals_ref, x_ref, out_ref, acc_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "interpret", "out_dtype")
+    jax.jit, static_argnames=("bm", "bk", "L", "interpret", "out_dtype")
 )
-def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int,
+def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
              interpret: bool = False, out_dtype=None):
     """Y = A @ X for blocked-ELL A.
 
-    block_cols: (nb, L) int32 — column-block index per slot (0 for padding).
+    block_cols: (nb*L,) int32, row-major over (block-row, slot) — column-
+        block index per slot (0 for padding).  Flat 1-D: a 2-D SMEM operand
+        pads its minor dim to 128 lanes, overflowing the ~1 MB scalar
+        memory for large nb.
     block_vals: (nb*L, bm, bk) — dense tiles (zeros in padding slots),
         flattened over (block-row, slot) so every BlockSpec index map is
         ≤3-D (Mosaic cannot legalize 4-D maps with >2 constant outputs).
     X: padded to (ncb*bk, b) rows.
     Returns (nb*bm, b).
     """
-    nb, L = block_cols.shape
+    nb = block_cols.shape[0] // L
     b = X.shape[1]
     out_dtype = out_dtype or X.dtype
 
@@ -92,7 +95,7 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int,
             ),
             pl.BlockSpec(
                 (bk, b),
-                lambda i, j, cols: (cols[i, j], i * 0),
+                lambda i, j, cols: (cols[i * L + j], i * 0),
             ),
         ],
         out_specs=pl.BlockSpec((bm, b), lambda i, j, cols: (i, i * 0)),
@@ -113,6 +116,20 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int,
             transcendentals=0,
         ),
     )(block_cols, block_vals, X)
+
+
+def _device_put_large(x: np.ndarray, chunk_bytes: int = 128 * 2**20):
+    """Host→device transfer in bounded chunks along axis 0.  Remote-attached
+    TPU transports (and some RPC stacks) cap single-request payloads; a
+    GB-scale block_vals array must stream in pieces."""
+    if x.nbytes <= chunk_bytes:
+        return jnp.asarray(x)
+    rows_per = max(int(chunk_bytes // max(x.nbytes // x.shape[0], 1)), 1)
+    parts = [
+        jnp.asarray(x[i : i + rows_per])
+        for i in range(0, x.shape[0], rows_per)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _blocked_ell_from_scipy(A, bm: int, bk: int, dtype):
@@ -151,9 +168,10 @@ class BlockSparseOperator(LinearOperator):
     Tiles are MXU-shaped; use f32/bf16 (the TPU MXU has no f64 — f64 solves
     should use the ELL/DIA operators, which XLA emulates correctly)."""
 
-    block_cols: jax.Array   # (nb, L) int32
+    block_cols: jax.Array   # (nb*L,) int32, row-major over (block-row, slot)
     block_vals: jax.Array   # (nb*L, bm, bk), row-major over (block-row, slot)
     _n: int = static_field(default=0)
+    L: int = static_field(default=1)
     bm: int = static_field(default=128)
     bk: int = static_field(default=128)
     interpret: bool = static_field(default=False)
@@ -168,7 +186,7 @@ class BlockSparseOperator(LinearOperator):
 
     @property
     def nnz_blocks(self):
-        return int(np.prod(self.block_cols.shape))
+        return int(self.block_cols.shape[0])
 
     def apply(self, X):
         # X is indexed by column blocks: pad its rows to ncb*bk
@@ -177,10 +195,10 @@ class BlockSparseOperator(LinearOperator):
         Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
         Y = bsr_spmm(
             self.block_cols, self.block_vals, Xp.astype(self.dtype),
-            bm=self.bm, bk=self.bk, interpret=self.interpret,
+            bm=self.bm, bk=self.bk, L=self.L, interpret=self.interpret,
             out_dtype=X.dtype,
         )
-        nrows = self.block_cols.shape[0] * self.bm
+        nrows = (self.block_cols.shape[0] // self.L) * self.bm
         return Y[: self._n] if nrows != self._n else Y
 
     @classmethod
@@ -198,19 +216,20 @@ class BlockSparseOperator(LinearOperator):
         # X is padded to ncb*bk rows; index_map addresses it in bk units.
         nb, L = block_cols.shape
         return cls(
-            block_cols=jnp.asarray(block_cols),
-            block_vals=jnp.asarray(block_vals.reshape(nb * L, bm, bk)),
+            block_cols=jnp.asarray(block_cols.reshape(nb * L)),
+            block_vals=_device_put_large(block_vals.reshape(nb * L, bm, bk)),
             _n=A.shape[0],
+            L=L,
             bm=bm,
             bk=bk,
             interpret=interpret,
         )
 
     def density_report(self) -> str:
-        nb, L = self.block_cols.shape
+        nb = self.block_cols.shape[0] // self.L
         nnz = int(np.count_nonzero(np.asarray(self.block_vals)))
         stored = int(self.block_vals.size)
         return (
-            f"BlockSparseOperator: n={self._n}, {nb}x{L} tiles of "
+            f"BlockSparseOperator: n={self._n}, {nb}x{self.L} tiles of "
             f"{self.bm}x{self.bk}, fill={nnz/max(stored,1):.3f}"
         )

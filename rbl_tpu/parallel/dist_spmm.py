@@ -54,9 +54,11 @@ class ShardedLaplacian2D(LinearOperator):
         ny = self.ny
 
         def local_apply(x_slab):
-            # x_slab: (nx_local*ny, b) — this device's slab of grid rows
+            # x_slab: (nx_local*ny, b) — this device's slab of grid rows,
+            # processed in the folded (nx_local, ny·b) full-lane layout
+            # (see Laplacian2D.apply)
             b = x_slab.shape[1]
-            G = x_slab.reshape(nx_local, ny, b)
+            G = x_slab.reshape(nx_local, ny * b)
             fwd = [(i, i + 1) for i in range(ndev - 1)]
             bwd = [(i + 1, i) for i in range(ndev - 1)]
             # halo rows from the neighbors (zeros at the mesh edges)
@@ -64,9 +66,8 @@ class ShardedLaplacian2D(LinearOperator):
             halo_hi = jax.lax.ppermute(G[0], self.axis, perm=bwd)
             up = jnp.concatenate([halo_lo[None], G[:-1]], axis=0)
             down = jnp.concatenate([G[1:], halo_hi[None]], axis=0)
-            out = 4.0 * G - up - down
-            out = out.at[:, 1:, :].add(-G[:, :-1, :])
-            out = out.at[:, :-1, :].add(-G[:, 1:, :])
+            Gy = jnp.pad(G, ((0, 0), (b, b)))
+            out = 4.0 * G - up - down - Gy[:, : -2 * b] - Gy[:, 2 * b :]
             return out.reshape(nx_local * ny, b)
 
         return jax.shard_map(

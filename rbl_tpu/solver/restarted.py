@@ -42,9 +42,7 @@ from .basis import BasisStore, _write_block
 from .lanczos import (
     LanczosResult,
     _first_step,
-    _local_reorth_step,
-    _partial_reorth_step,
-    _recurrence_step,
+    _sweep_chunk,
     random_start_block,
     recover_eigvec,
 )
@@ -64,7 +62,13 @@ class RestartState:
 
 def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer):
     """One fixed-length sweep (reference lanczos_iteration_res,
-    restarted.jl:23-95).  Returns (w desc-|λ|, V desc, bounds desc)."""
+    restarted.jl:23-95), chunk-fused like the main driver: iterations run
+    in jitted windows (_sweep_chunk, deflation + partial reorth on the
+    i % 3 cadence resolved to static per-step patterns) and each window's
+    T blocks come back in one stacked transfer — the restarted variant has
+    no convergence polls at all, so the whole sweep costs only
+    ceil(sweep/window) RPC round-trips.  Returns (w desc-|λ|, V desc,
+    bounds desc)."""
     from ..utils.profiling import null_timer
 
     timer = timer or null_timer()
@@ -83,34 +87,39 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer)
 
     with timer.section("recurrence"):
         Qnext, Bnext, Ai = _first_step(op, Qi, cdt=cdt, qr_method=qr_method)
-    T.append_diag(np.asarray(Ai))
-    T.set_subdiag(np.asarray(Bnext), 0)
+    AB0 = np.asarray(jnp.stack([Ai, Bnext.astype(Ai.dtype)]))
+    T.append_diag(AB0[0])
+    T.set_subdiag(AB0[1], 0)
     Qprev, Qi, Bi = Qi, Qnext, Bnext
+    Bi_host = AB0[1]
 
     i = 1
-    while (i + 1) * b < kryl:
-        i += 1
-        if i % cfg.restart_reorth_cadence == 0:
-            with timer.section("deflate"):
-                Qi = deflate(lock_buf, Qi)
-                Qprev = deflate(lock_buf, Qprev)
-            with timer.section("partial_reorth"):
-                Qi, Qprev = _partial_reorth_step(
-                    store.view(), Qi, Qprev, qr_method=qr_method
-                )
-        with timer.section("local_reorth"):
-            Qi = _local_reorth_step(
-                Qi, Qprev, passes=cfg.loc_reorth_passes, qr_method=qr_method
+    i_last = kryl // b - 1  # last iteration index of the sweep
+    dc = cfg.restart_reorth_cadence
+    window = max(cfg.eig_poll_cadence, 1)
+    while i < i_last:
+        S = min(window, i_last - i)
+        i0 = i + 1
+        pattern = tuple((i0 + s) % dc == 0 for s in range(S))
+        store._ensure(store.ncols + S * b)
+        col0 = store.ncols - store.dev_base
+        with timer.section("sweep_dispatch"):
+            buf, Qi, Qprev, Bi, TB = _sweep_chunk(
+                op, store.buf, Qi, Qprev, Bi, jnp.int32(col0), lock_buf,
+                cdt=cdt, qr_method=qr_method, nsteps=S,
+                reorth_pattern=pattern, deflate_pattern=pattern,
+                loc_passes=cfg.loc_reorth_passes,
             )
-        store.append(Qprev)
-        with timer.section("recurrence"):
-            Qnext, Bnext, Ai = _recurrence_step(
-                op, Qi, Qprev, Bi, cdt=cdt, qr_method=qr_method
-            )
-        T.append_diag(np.asarray(Ai))
-        if (i + 1) * b < kryl:  # reference skips the last sub-diagonal panel
-            T.set_subdiag(np.asarray(Bnext), i - 1)
-        Qprev, Qi, Bi = Qi, Qnext, Bnext
+            store.buf = buf
+            store.ncols += S * b
+        with timer.section("transfer"):
+            TB = np.asarray(TB)
+        for s in range(S):
+            T.append_diag(TB[2 * s])
+            if (i0 + s) < i_last:  # reference skips the last sub-diagonal
+                T.set_subdiag(TB[2 * s + 1], i0 + s - 1)
+        i += S
+        Bi_host = TB[2 * (S - 1) + 1]
 
     # final cleanup reorth of the newest block before the single eigensolve
     # (reference restarted.jl:89-91 cleans the last two stored blocks)
@@ -124,7 +133,7 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer)
 
     with timer.section("eig"):
         w, V = eig_banded_host(T.view(store.ncols))
-    bounds = ritz_residual_bounds(np.asarray(Bi), V, b)
+    bounds = ritz_residual_bounds(Bi_host, V, b)
     # descending by |λ| (the reference orders by algebraic value,
     # restarted.jl:93-94; |λ| keeps parity with the main solver's
     # largest-magnitude contract)

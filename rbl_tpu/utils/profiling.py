@@ -25,11 +25,16 @@ class Timer:
 
     @staticmethod
     def _barrier():
-        # Device programs execute in launch order, so blocking on a freshly
-        # enqueued trivial computation drains everything queued before it.
+        # Device programs execute in launch order, so fetching the VALUE of
+        # a freshly enqueued trivial computation drains everything queued
+        # before it.  (A value fetch, not block_until_ready: on
+        # remote-attached backends block_until_ready can return before
+        # execution actually finishes.)
+        import numpy as np
+
         import jax.numpy as jnp
 
-        jax.block_until_ready(jnp.zeros(()) + 1.0)
+        np.asarray(jnp.zeros(()) + 1.0)
 
     @contextlib.contextmanager
     def section(self, name: str):

@@ -14,7 +14,11 @@ Usage: python examples/images.py [--image path.png] [--rank 50]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -40,6 +44,9 @@ def main():
     p.add_argument("--image", default=None)
     p.add_argument("--rank", type=int, default=50)
     p.add_argument("--out", default=None, help="save reconstruction .npy")
+    p.add_argument("--f64", action="store_true",
+                   help="full f64 (slow on TPU: the MXU has no f64, and "
+                        "every emulated kernel pays remote-compile latency)")
     args = p.parse_args()
 
     B = load_or_make_image(args.image)
@@ -50,10 +57,14 @@ def main():
 
     import rbl_tpu as rt
 
-    # 1. RBL on the Gram matrix  (images.jl:21-25)
+    # 1. RBL on the Gram matrix  (images.jl:21-25); f32 by default — σ
+    # accuracy ~1e-4·σ1 is far below the rank-truncation error
+    dt_ = jnp.float64 if args.f64 else jnp.float32
+    cfg = rt.RBLConfig(block_size=1, basis_dtype=dt_, compute_dtype=dt_,
+                       tol=1e-5 if not args.f64 else 1e-7)
     t0 = time.perf_counter()
-    G = rt.DenseOperator(jnp.asarray(B.T @ B))
-    res = rt.rbl(G, k, 1)
+    G = rt.DenseOperator(jnp.asarray((B.T @ B), dtype=dt_))
+    res = rt.rbl(G, k, 1, cfg=cfg)
     D = res.eigenvalues                      # σ²
     V = np.asarray(res.eigenvectors)         # right singular vectors
     sigma = np.sqrt(np.maximum(D, 0.0))

@@ -32,12 +32,20 @@ def eig_banded_host(band: np.ndarray, backend: str = "scipy"):
     backend="scipy": LAPACK dsbevd via scipy (default — fastest).
     backend="native": the in-repo C++ tred2/tql2 solver (native/band_eig.cpp)
     — the framework's own replacement for the reference's raw LAPACK ccall
-    (common.jl:28-48); falls back to scipy if the library can't build."""
+    (common.jl:28-48); falls back to scipy if the library can't build.
+    backend="device": dense jnp.linalg.eigh of the expanded T on the
+    accelerator — useful when T grows large enough to beat the host path
+    or when host LAPACK is unavailable; pays two transfers per poll."""
     if backend == "native":
         from ..native import available, band_eigh
 
         if available():
             return band_eigh(band)
+    if backend == "device":
+        from .band import band_to_dense
+
+        w, V = jnp.linalg.eigh(jnp.asarray(band_to_dense(band)))
+        return np.asarray(w), np.asarray(V)
     w, V = scipy.linalg.eig_banded(band.astype(np.float64), lower=True)
     return w, V
 

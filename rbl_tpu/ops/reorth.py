@@ -39,7 +39,8 @@ def project_out(basis, W):
     return W - jnp.dot(basis, G.astype(basis.dtype), preferred_element_type=acc).astype(W.dtype)
 
 
-def partial_reorth(basis, Qi, Qprev, qr_method: str = "householder"):
+def partial_reorth(basis, Qi, Qprev, qr_method: str = "householder",
+                   passes: int = 1):
     """Project the two newest blocks against the stored basis in one fused
     contraction (reference: part_reorth!, RBL.jl:31-48).
 
@@ -52,10 +53,16 @@ def partial_reorth(basis, Qi, Qprev, qr_method: str = "householder"):
     ‖I − QQᵀ‖, and storing un-normalized blocks compounds that growth
     exponentially across iterations.  The QR caps every stored block at
     orthonormal, which keeps the projection operator uniformly bounded.
-    (Qi is re-orthonormalized by the local reorth that always follows.)"""
+    (Qi is re-orthonormalized by the local reorth that always follows.)
+
+    ``passes=2`` (CGS2 against the basis) is used by the solver's danger
+    mode — near an invariant subspace, ghost components re-amplify by
+    ~‖A‖/‖B_i‖ per iteration, and a single classical GS pass leaves a
+    residual proportional to the basis's own orthogonality error."""
     b = Qi.shape[1]
     W = jnp.concatenate([Qi, Qprev], axis=1)
-    W = project_out(basis, W)
+    for _ in range(passes):
+        W = project_out(basis, W)
     Qprev_new, _ = block_qr(W[:, b:], method=qr_method)
     return W[:, :b], Qprev_new
 

@@ -88,7 +88,7 @@ _recurrence_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(recurr
     jax.jit,
     static_argnames=(
         "cdt", "qr_method", "nsteps", "reorth_pattern", "deflate_pattern",
-        "loc_passes",
+        "loc_passes", "reorth_passes",
     ),
     donate_argnums=(1,),
 )
@@ -107,6 +107,7 @@ def _sweep_chunk(
     reorth_pattern,
     deflate_pattern,
     loc_passes,
+    reorth_passes=1,
 ):
     """``nsteps`` Lanczos iterations fused into ONE dispatch.
 
@@ -131,7 +132,10 @@ def _sweep_chunk(
             Qi = deflate(lock_basis, Qi)
             Qprev = deflate(lock_basis, Qprev)
         if reorth_pattern[s]:
-            Qi, Qprev = partial_reorth(basis_buf, Qi, Qprev, qr_method=qr_method)
+            Qi, Qprev = partial_reorth(
+                basis_buf, Qi, Qprev, qr_method=qr_method,
+                passes=reorth_passes,
+            )
         Qi = local_reorth(Qi, Qprev, passes=loc_passes, qr_method=qr_method)
         basis_buf = jax.lax.dynamic_update_slice(
             basis_buf,
@@ -284,7 +288,7 @@ def lanczos_iteration(
     n = op.n
     cdt = jnp.dtype(cfg.compute_dtype)
     qr_method = cfg.resolved_qr_method()
-    eig_bk = "native" if cfg.eig_backend == "native" else "scipy"
+    eig_bk = {"native": "native", "device": "device"}.get(cfg.eig_backend, "scipy")
     max_kryl = min(cfg.max_kryl_dim, ((n + b - 1) // b) * b)
 
     T = BlockTridiagonalT(b, max_cols=max_kryl + b)
@@ -316,6 +320,7 @@ def lanczos_iteration(
     # rare, both handled by zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
     w_prev = None      # screened top-k Ritz values from the previous poll
+    danger = False     # near-invariant-subspace reorth escalation
     converged = False
     i = 1              # Lanczos iterations completed (host view)
     i_max = max_kryl // b
@@ -328,7 +333,16 @@ def lanczos_iteration(
         nonlocal dev, i_next
         i0 = i_next
         S = min(cfg.eig_poll_cadence, i_max - i0 + 1)
-        reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
+        # danger mode: ‖B‖ has collapsed toward an invariant subspace, where
+        # ghost components of converged directions re-amplify by ~‖A‖/‖B‖
+        # per iteration — reorthogonalize EVERY step with CGS2 against the
+        # basis until ‖B‖ recovers (the reference's fixed cadence-2 single
+        # pass loses the basis to ghosts on large-gap spectra: measured
+        # ‖QᵀQ−I‖ → 1 within 15 iterations on a rank-40-dominant Gram)
+        if danger:
+            reorth_pattern = (True,) * S
+        else:
+            reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
         deflate_pattern = tuple(
             lock_basis is not None and (i0 + s) % dc == 0 for s in range(S)
         )
@@ -356,13 +370,14 @@ def lanczos_iteration(
                 reorth_pattern=reorth_pattern,
                 deflate_pattern=deflate_pattern,
                 loc_passes=cfg.loc_reorth_passes,
+                reorth_passes=2 if danger else 1,
             )
         store.buf = buf
         store.ncols = col0_abs + S * b
         dev = (Qi_n, Qprev_n, Bi_n)
         i_next = i0 + S
         return dict(i0=i0, S=S, col0=col0_abs, TB=TB,
-                    Qprev=Qprev_n, Bi=Bi_n)
+                    Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n, danger=danger)
 
     def rewind_to(ncols_new):
         """Zero basis columns beyond ncols_new (discard speculated /
@@ -420,11 +435,29 @@ def lanczos_iteration(
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):
                 Qi_new = _rerandomize_block(
-                    store.view(), dev[0], Qprev, sub, qr_method=qr_method
+                    store.view(), cur["Qi"], Qprev, sub, qr_method=qr_method
                 )
             dev = (Qi_new, Qprev, jnp.asarray(B_last))
             i_next = i + 1
             spec = None  # speculated chunk consumed garbage state
+
+        # danger-mode hysteresis: enter every-step CGS2 reorth while any
+        # ‖B_s‖ sits below 1e-2·tscale (ghost re-amplification regime),
+        # leave once it recovers above 1e-1·tscale.  A speculated chunk
+        # dispatched under a stale policy is discarded and re-run.
+        min_B = min(
+            float(np.abs(TB[2 * s + 1]).max()) for s in range(done)
+        )
+        prev_danger = danger
+        if min_B < 1e-2 * tscale:
+            danger = True
+        elif min_B > 1e-1 * tscale:
+            danger = False
+        if danger != prev_danger and spec is not None:
+            rewind_to((i - 1) * b)
+            dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
+            i_next = i + 1
+            spec = None
 
         # poll at the chunk boundary (reference cadence RBL.jl:106), and
         # immediately on breakdown — the Krylov space is nearly invariant

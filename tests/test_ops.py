@@ -220,3 +220,30 @@ def test_basis_store_host_offload_solve():
         d[:, None] * Vo - Vo * res_off.eigenvalues[None, :], axis=0
     )
     assert resid.max() < 1e-6 * d.max()
+
+
+def test_breakdown_rerandomization_low_rank():
+    """Exact invariant-subspace breakdown: a rank-6 operator exhausts its
+    Krylov space after two b=3 blocks; the solver must detect the collapsed
+    B, re-randomize (reference has no handling — SURVEY §5), and still
+    return the top-k eigenpairs without ghosts or NaNs."""
+    import rbl_tpu as rt
+
+    n = 300
+    d = np.zeros(n)
+    d[:6] = [60.0, 50.0, 40.0, 30.0, 20.0, 10.0]
+    cfg = rt.RBLConfig(block_size=3, max_kryl_dim=60, eig_poll_cadence=4)
+    res = rt.rbl(d, 4, 3, cfg=cfg)
+    np.testing.assert_allclose(res.eigenvalues, [60, 50, 40, 30], atol=1e-8)
+    assert np.all(np.isfinite(np.asarray(res.eigenvectors)))
+
+
+def test_eig_backend_device_solve():
+    """eig_backend='device' routes the Rayleigh–Ritz solve through
+    jnp.linalg.eigh of the densified T."""
+    import rbl_tpu as rt
+
+    n = 400
+    d = np.arange(1.0, n + 1.0)
+    res = rt.rbl(d, 5, 4, cfg=rt.RBLConfig(block_size=4, eig_backend="device"))
+    np.testing.assert_allclose(res.eigenvalues, d[::-1][:5], rtol=1e-11)

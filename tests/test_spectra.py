@@ -83,3 +83,26 @@ def test_eigenvectors_residual():
     r = a[:, None] * V - V * res.eigenvalues[None, :]
     assert np.linalg.norm(r, axis=0).max() < 1e-6 * np.abs(a).max()
     assert np.linalg.norm(V.T @ V - np.eye(k)) < 1e-10
+
+
+def test_large_gap_gram_spectrum():
+    """Large-gap spectra (λ1/λ2 ≈ 700, the image-demo Gram matrix shape)
+    drive ghost re-amplification ~‖A‖/‖B‖ per iteration once ‖B‖ collapses;
+    the solver's danger-mode escalation (every-step CGS2 partial reorth)
+    must keep the basis orthogonal.  Without it the basis degenerates
+    (‖QᵀQ−I‖ → 1 within ~15 iterations) and eigenvalues explode past ‖A‖."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    h, w, r = 480, 640, 40
+    img = rng.standard_normal((h, r)) @ rng.standard_normal((r, w))
+    img += 0.05 * rng.standard_normal((h, w))
+    img -= img.min()
+    img /= img.max()
+    G = img.T @ img
+    wtrue = np.linalg.eigvalsh(G)[::-1]
+    for b in (1, 4):
+        res = rt.rbl(rt.DenseOperator(jnp.asarray(G)), 50, b)
+        err = np.abs((res.eigenvalues - wtrue[:50]) / wtrue[0]).max()
+        assert res.converged, f"b={b} failed to converge"
+        assert err < 1e-7, f"b={b} max rel err {err}"

@@ -31,7 +31,7 @@ def run(timed: bool):
         qr_method="cholqr2",
         tol=1e-3,
         max_kryl_dim=768,
-        eig_poll_cadence=8,
+        eig_poll_cadence=16,
     )
     t0 = time.perf_counter()
     res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)

@@ -106,3 +106,25 @@ def test_large_gap_gram_spectrum():
         err = np.abs((res.eigenvalues - wtrue[:50]) / wtrue[0]).max()
         assert res.converged, f"b={b} failed to converge"
         assert err < 1e-7, f"b={b} max rel err {err}"
+
+
+def test_mixed_precision_bf16_basis():
+    """Reference mixed-precision scheme (README.md:69, common.jl:5-6):
+    low-precision basis storage + higher-precision recurrence.  bf16 basis
+    with f32 recurrence must still resolve well-separated eigenvalues to
+    ~bf16-resolution accuracy."""
+    import jax.numpy as jnp
+
+    n = 400
+    d = np.linspace(1.0, 100.0, n) ** 2
+    cfg = rt.RBLConfig(
+        block_size=4,
+        basis_dtype=jnp.bfloat16,
+        compute_dtype=jnp.float32,
+        qr_method="cholqr2",
+        tol=1e-2,
+        max_kryl_dim=200,
+    )
+    res = rt.rbl(d.astype(np.float32), 4, 4, cfg=cfg)
+    expect = np.sort(d)[::-1][:4]
+    assert np.abs((res.eigenvalues - expect) / expect).max() < 5e-2

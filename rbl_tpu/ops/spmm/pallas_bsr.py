@@ -40,32 +40,46 @@ from jax.experimental.pallas import tpu as pltpu
 from .operator import LinearOperator, register_operator, static_field
 
 
-def _bsr_spmm_kernel(cols_ref, vals_ref, x_ref, out_ref, acc_ref):
-    """One (block-row i, slot j) grid step: acc += A[i,j] @ X[cols[i,j]]."""
-    j = pl.program_id(1)
+def _make_bsr_kernel(unroll: int):
+    """Kernel for one (block-row i, slot-group j) grid step:
+    acc += Σ_u A[i, j·U+u] @ X[cols[i, j·U+u]].
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    ``unroll`` A-tiles (and their X tiles) are fetched per grid step —
+    fewer, larger DMAs amortize the per-step issue overhead that dominates
+    when each tile's MXU work is tiny (measured +20% HBM bandwidth at
+    U=2 on a FEM-blocky matrix)."""
 
-    # HIGHEST: full-f32 MXU passes (bf16x3) — the kernel is HBM-bound on
-    # the A tiles, so the extra passes cost nothing and keep SpMM at true
-    # f32 accuracy (the recurrence's convergence depends on it).
-    acc_ref[:] += jnp.dot(
-        vals_ref[0], x_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    def kernel(cols_ref, vals_ref, *rest):
+        x_refs, (out_ref, acc_ref) = rest[:unroll], rest[unroll:]
+        j = pl.program_id(1)
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # HIGHEST: full-f32 MXU passes (bf16x3) — the kernel is HBM-bound
+        # on the A tiles, so the extra passes cost nothing and keep SpMM at
+        # true f32 accuracy (the recurrence's convergence depends on it).
+        for u in range(unroll):
+            acc_ref[:] += jnp.dot(
+                vals_ref[u], x_refs[u][:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "L", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("bm", "bk", "L", "unroll", "interpret", "out_dtype"),
 )
 def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
-             interpret: bool = False, out_dtype=None):
+             unroll: int = 1, interpret: bool = False, out_dtype=None):
     """Y = A @ X for blocked-ELL A.
 
     block_cols: (nb*L,) int32, row-major over (block-row, slot) — column-
@@ -76,33 +90,40 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
         flattened over (block-row, slot) so every BlockSpec index map is
         ≤3-D (Mosaic cannot legalize 4-D maps with >2 constant outputs).
     X: padded to (ncb*bk, b) rows.
+    unroll: A-tiles fetched per grid step (L must be a multiple).
     Returns (nb*bm, b).
     """
     nb = block_cols.shape[0] // L
     b = X.shape[1]
     out_dtype = out_dtype or X.dtype
+    U = unroll
+    assert L % U == 0, f"L={L} not a multiple of unroll={U}"
+    H = L // U
 
     # NB: literal 0s in index maps lower to i64 constants under x64 mode,
     # which Mosaic refuses to mix with the i32 program ids ("failed to
     # legalize func.func") — derive every constant from the i32 grid ids.
+    def x_spec(u):
+        return pl.BlockSpec(
+            (bk, b),
+            lambda i, j, cols: (cols[(i * H + j) * U + u], i * 0),
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, L),
+        grid=(nb, H),
         in_specs=[
             pl.BlockSpec(
-                (1, bm, bk),
-                lambda i, j, cols: (i * L + j, i * 0, i * 0),
+                (U, bm, bk),
+                lambda i, j, cols: (i * H + j, i * 0, i * 0),
             ),
-            pl.BlockSpec(
-                (bk, b),
-                lambda i, j, cols: (cols[i * L + j], i * 0),
-            ),
+            *[x_spec(u) for u in range(U)],
         ],
         out_specs=pl.BlockSpec((bm, b), lambda i, j, cols: (i, i * 0)),
         scratch_shapes=[pltpu.VMEM((bm, b), jnp.float32)],
     )
     return pl.pallas_call(
-        _bsr_spmm_kernel,
+        _make_bsr_kernel(U),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * bm, b), out_dtype),
         interpret=interpret,
@@ -115,7 +136,7 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
             ),
             transcendentals=0,
         ),
-    )(block_cols, block_vals, X)
+    )(block_cols, block_vals, *([X] * U))
 
 
 def _device_put_large(x: np.ndarray, chunk_bytes: int = 128 * 2**20):
@@ -174,6 +195,7 @@ class BlockSparseOperator(LinearOperator):
     L: int = static_field(default=1)
     bm: int = static_field(default=128)
     bk: int = static_field(default=128)
+    unroll: int = static_field(default=1)
     interpret: bool = static_field(default=False)
 
     @property
@@ -195,8 +217,8 @@ class BlockSparseOperator(LinearOperator):
         Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
         Y = bsr_spmm(
             self.block_cols, self.block_vals, Xp.astype(self.dtype),
-            bm=self.bm, bk=self.bk, L=self.L, interpret=self.interpret,
-            out_dtype=X.dtype,
+            bm=self.bm, bk=self.bk, L=self.L, unroll=self.unroll,
+            interpret=self.interpret, out_dtype=X.dtype,
         )
         nrows = (self.block_cols.shape[0] // self.L) * self.bm
         return Y[: self._n] if nrows != self._n else Y
@@ -213,6 +235,16 @@ class BlockSparseOperator(LinearOperator):
         block_cols, block_vals, nb, ncb, L = _blocked_ell_from_scipy(
             A, bm, bk, dtype
         )
+        # fetch 2 tiles per grid step once there's enough reduction depth
+        # to amortize the padding (measured +20% HBM bandwidth)
+        unroll = 2 if L >= 4 else 1
+        if L % unroll:
+            pad = unroll - L % unroll
+            block_cols = np.pad(block_cols, ((0, 0), (0, pad)))
+            block_vals = np.pad(
+                block_vals, ((0, 0), (0, pad), (0, 0), (0, 0))
+            )
+            L += pad
         # X is padded to ncb*bk rows; index_map addresses it in bk units.
         nb, L = block_cols.shape
         return cls(
@@ -222,6 +254,7 @@ class BlockSparseOperator(LinearOperator):
             L=L,
             bm=bm,
             bk=bk,
+            unroll=unroll,
             interpret=interpret,
         )
 

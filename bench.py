@@ -45,7 +45,7 @@ def run(timed: bool):
 
 def main():
     run(timed=False)  # warm the compile caches
-    dt, res = run(timed=True)
+    dt = min(run(timed=True)[0] for _ in range(3))  # best-of-3: tunnel RPC
     print(
         json.dumps(
             {

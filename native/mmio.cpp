@@ -110,6 +110,12 @@ inline const char* skip_ws(const char* p, const char* end) {
   return p;
 }
 
+// std::from_chars rejects a leading '+', which is valid in MatrixMarket
+// numeric fields — skip it explicitly.
+inline const char* skip_plus(const char* p, const char* end) {
+  return (p < end && *p == '+') ? p + 1 : p;
+}
+
 // Parse every "row col [val]" triple in [lo, hi) into the thread-local
 // vectors.  std::from_chars: locale-free, no strtod erange overhead.
 struct ParseOut {
@@ -124,16 +130,16 @@ void parse_range(const char* lo, const char* hi, bool pattern, ParseOut* out) {
     p = skip_ws(p, hi);
     if (p >= hi) break;
     int64_t r = 0, c = 0;
-    auto res = std::from_chars(p, hi, r);
+    auto res = std::from_chars(skip_plus(p, hi), hi, r);
     if (res.ec != std::errc()) { out->bad = true; return; }
     p = skip_ws(res.ptr, hi);
-    res = std::from_chars(p, hi, c);
+    res = std::from_chars(skip_plus(p, hi), hi, c);
     if (res.ec != std::errc()) { out->bad = true; return; }
     p = res.ptr;
     double v = 1.0;
     if (!pattern) {
       p = skip_ws(p, hi);
-      auto resd = std::from_chars(p, hi, v);
+      auto resd = std::from_chars(skip_plus(p, hi), hi, v);
       if (resd.ec != std::errc()) { out->bad = true; return; }
       p = resd.ptr;
     }

@@ -197,11 +197,12 @@ def _pick_sparse_format(A, dtype) -> str:
     has no f64); everything else to the portable ELL scan."""
     import numpy as _np
 
-    from .dia import count_diagonals
-
     n = A.shape[0]
     coo = A.tocoo()
-    if count_diagonals(A) <= 64:
+    ndiags = len(
+        _np.unique(coo.col.astype(_np.int64) - coo.row.astype(_np.int64))
+    )
+    if ndiags <= 64:
         return "dia"
     itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 8
     if jax.default_backend() == "tpu" and itemsize <= 4:

@@ -158,6 +158,7 @@ def _blocked_ell_from_scipy(A, bm: int, bk: int, dtype):
     import scipy.sparse as sp
 
     A = sp.coo_matrix(A)
+    A.sum_duplicates()  # fancy-index scatter below keeps only last writes
     n = A.shape[0]
     nb = -(-n // bm)          # block rows
     ncb = -(-n // bk)         # block cols

@@ -137,9 +137,22 @@ class BasisStore:
         needed_dev = needed_total - self.dev_base
         cap = self.device_cap_cols
         if cap is not None and needed_dev > cap:
-            # compact: keep the newest half (always ≥ a few blocks so
-            # breakdown rewinds and Qprev re-reads stay device-resident)
-            keep = max(cap // 2 // self.b * self.b, 2 * self.b)
+            # Compact, keeping as much of the newest history as fits next
+            # to the incoming append window W.  keep = cap − W guarantees
+            # one offload always suffices (needed_dev becomes W + keep ≤
+            # cap — a smaller keep would let writes clamp at the buffer
+            # edge and silently overwrite the newest blocks), and the
+            # feasibility check keeps ≥ W + 2b columns resident so
+            # breakdown rewinds / Q_i re-reads and the speculated chunk's
+            # own offload never touch host-tier territory.
+            W = needed_total - self.ncols
+            if cap < 2 * W + 2 * self.b:
+                raise ValueError(
+                    f"basis_device_cap_cols={cap} too small for an append "
+                    f"window of {W} columns (needs ≥ {2 * W + 2 * self.b}: "
+                    "raise the cap or lower eig_poll_cadence·block_size)"
+                )
+            keep = (cap - W) // self.b * self.b
             self._offload_oldest(keep)
             needed_dev = needed_total - self.dev_base
         if needed_dev <= self.capacity:

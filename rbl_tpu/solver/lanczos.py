@@ -171,11 +171,6 @@ def _read_block(buf, col0, b):
 
 
 @partial(jax.jit, static_argnames=("qr_method",))
-def _partial_reorth_step(basis_buf, Qi, Qprev, qr_method="householder"):
-    return partial_reorth(basis_buf, Qi, Qprev, qr_method=qr_method)
-
-
-@partial(jax.jit, static_argnames=("qr_method",))
 def _rerandomize_block(basis_buf, Qi, Qprev, key, qr_method):
     """Breakdown recovery: replace a numerically rank-deficient residual
     block with fresh random directions orthogonalized against the whole
@@ -209,11 +204,6 @@ def _rayleigh_refine(op: LinearOperator, X, theta0, cdt):
     num = jnp.diagonal(gram(Xc, Y))
     den = jnp.diagonal(gram(Xc, Xc))
     return theta0 + num / den
-
-
-@partial(jax.jit, static_argnames=("passes", "qr_method"))
-def _local_reorth_step(Qi, Qprev, passes, qr_method):
-    return local_reorth(Qi, Qprev, passes=passes, qr_method=qr_method)
 
 
 @jax.jit
@@ -453,7 +443,7 @@ def lanczos_iteration(
             danger = True
         elif min_B > 1e-1 * tscale:
             danger = False
-        if danger != prev_danger and spec is not None:
+        if spec is not None and spec["danger"] != danger:
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
             i_next = i + 1
@@ -476,8 +466,13 @@ def lanczos_iteration(
                 and np.max(np.abs(w_scr - w_prev))
                 <= cfg.tol * max(np.abs(w_scr).max(), np.finfo(np.float64).tiny)
             )
+            # never let the screen swallow the first eligible poll (T is
+            # small, the full solve is cheap, and the old per-poll
+            # semantics could converge there) or the final one before the
+            # Krylov cap (no second chance)
+            must_poll = w_prev is None or i >= i_max
             w_prev = w_scr
-            if stable or collapse_at is not None:
+            if stable or must_poll or collapse_at is not None:
                 with timer.section("eig"):
                     w, V = eig_banded_host(T.view(), backend=eig_bk)
                     w_sel, V_sel = sort_eig_abs(w, V, k)

@@ -94,7 +94,9 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer)
     Bi_host = AB0[1]
 
     i = 1
-    i_last = kryl // b - 1  # last iteration index of the sweep
+    # last iteration of the sweep: max i with i·b < kryl (the replaced
+    # loop's 'while (i+1)*b < kryl' pre-increment condition)
+    i_last = (kryl - 1) // b
     dc = cfg.restart_reorth_cadence
     window = max(cfg.eig_poll_cadence, 1)
     while i < i_last:

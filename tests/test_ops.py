@@ -247,3 +247,39 @@ def test_eig_backend_device_solve():
     d = np.arange(1.0, n + 1.0)
     res = rt.rbl(d, 5, 4, cfg=rt.RBLConfig(block_size=4, eig_backend="device"))
     np.testing.assert_allclose(res.eigenvalues, d[::-1][:5], rtol=1e-11)
+
+
+def test_basis_store_small_cap_rejected_or_safe():
+    """Review regression: a device cap too small for the append window must
+    raise (not silently clamp writes over the newest blocks)."""
+    import pytest as _pytest
+
+    import jax.numpy as jnp
+    from rbl_tpu.solver.basis import BasisStore
+
+    store = BasisStore(64, 4, max_cols=64, dtype=jnp.float64,
+                       device_cap_cols=16)
+    blk = jnp.ones((64, 4))
+    with _pytest.raises(ValueError):
+        # one _ensure for a 20-column window on a 16-column cap
+        store._ensure(20)
+
+
+def test_basis_store_offload_exact_contents():
+    """Every stored block must be recoverable bit-for-bit across tiers."""
+    import jax.numpy as jnp
+    from rbl_tpu.solver.basis import BasisStore
+
+    rng = np.random.default_rng(0)
+    n, b, cap = 32, 4, 16
+    store = BasisStore(n, b, max_cols=80, dtype=jnp.float64,
+                       device_cap_cols=cap)
+    blocks = [rng.standard_normal((n, b)) for _ in range(12)]
+    for blk in blocks:
+        store.append(jnp.asarray(blk))
+    got = np.concatenate(
+        [np.asarray(p) for p in store.host_tier()]
+        + [np.asarray(store.view())[:, : store.dev_ncols]],
+        axis=1,
+    )
+    np.testing.assert_array_equal(got, np.concatenate(blocks, axis=1))

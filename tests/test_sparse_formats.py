@@ -106,3 +106,17 @@ def test_dia_solver_end_to_end():
     expect = w[idx]
     res = rt.rbl(rt.as_operator(A), 4, 4)
     np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-9)
+
+
+def test_bsr_sums_duplicate_coo_entries():
+    """Review regression: FEM-assembly-style COO input with duplicate
+    entries must sum them (fancy-index scatter alone keeps the last)."""
+    rows = np.array([0, 0, 3])
+    cols = np.array([1, 1, 2])
+    vals = np.array([2.0, 3.0, 7.0])
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(8, 8))
+    A = A + A.T
+    op = BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)
+    X = np.eye(8, dtype=np.float32)
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A.toarray(), atol=1e-6)

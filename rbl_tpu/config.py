@@ -109,6 +109,24 @@ class RBLConfig:
     restart_growth: int = 10         # sweep growth per restart (restarted.jl:142)
     restart_reorth_cadence: int = 3  # deflation + partial reorth cadence (restarted.jl:53)
 
+    def __post_init__(self):
+        if self.block_size < 1:
+            raise ValueError(f"block_size must be ≥ 1, got {self.block_size}")
+        if self.tol <= 0:
+            raise ValueError(f"tol must be positive, got {self.tol}")
+        if self.max_kryl_dim < self.block_size:
+            raise ValueError(
+                f"max_kryl_dim={self.max_kryl_dim} < block_size={self.block_size}"
+            )
+        for name in ("partial_reorth_cadence", "eig_poll_cadence",
+                     "loc_reorth_passes", "restart_reorth_cadence"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be ≥ 1")
+        if self.qr_method not in ("auto", "householder", "cholqr2", "cholqr3"):
+            raise ValueError(f"unknown qr_method: {self.qr_method!r}")
+        if self.eig_backend not in ("banded_host", "native", "device"):
+            raise ValueError(f"unknown eig_backend: {self.eig_backend!r}")
+
     def resolved_qr_method(self) -> str:
         if self.qr_method != "auto":
             return self.qr_method

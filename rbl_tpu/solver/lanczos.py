@@ -389,6 +389,16 @@ def lanczos_iteration(
         with timer.section("transfer"):
             TB = np.asarray(cur["TB"])  # (2S, b, b): [A_s, B_s] pairs
         i0, S, col0_abs = cur["i0"], cur["S"], cur["col0"]
+        if not np.all(np.isfinite(TB)):
+            # numerical health check (SURVEY §5: the reference has no
+            # failure detection) — the T blocks cross to the host anyway,
+            # so this is free; a NaN here means the operator or dtype
+            # configuration produced non-finite values
+            raise FloatingPointError(
+                f"non-finite T blocks at iterations {i0}..{i0 + S - 1} — "
+                "operator output or precision configuration is unstable "
+                f"(basis_dtype={cfg.basis_dtype}, compute_dtype={cfg.compute_dtype})"
+            )
         # host-side T assembly + breakdown scan.  Step s is iteration
         # j = i0+s; it consumed (Q_j, Q_{j-1}, B_j), wrote Q_{j-1} to the
         # basis, and produced (A_j, B_{j+1}).

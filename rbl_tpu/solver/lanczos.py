@@ -14,6 +14,7 @@ T's blocks across the PCIe boundary (RBL_gpu.jl:159-161,185).
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 from functools import partial
 from typing import Any, Optional
@@ -35,6 +36,13 @@ from ..ops.qr import block_qr
 from ..ops.reorth import local_reorth, partial_reorth
 from ..ops.spmm.operator import LinearOperator, _pet
 from .basis import BasisStore
+
+
+# Worker for host-side eig factorizations, overlapped with device sweeps
+# (LAPACK releases the GIL).  One thread: at most one poll is in flight.
+_EIG_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+    max_workers=1, thread_name_prefix="rbl-eig"
+)
 
 
 @dataclasses.dataclass
@@ -216,7 +224,7 @@ def _recover(basis_buf, Vk_padded, cdt_scale=None):
     )
 
 
-def recover_eigvec(store: BasisStore, Vk: np.ndarray, k: int) -> jax.Array:
+def recover_eigvec(store: BasisStore, Vk: np.ndarray) -> jax.Array:
     """Recover k Ritz vectors from the basis store; Vk has store.ncols rows.
     Host-tier panels (columns [0, dev_base)) and the device tier (columns
     [dev_base, ncols)) contribute contiguous GEMMs — the reference's
@@ -241,18 +249,29 @@ def recover_eigvec(store: BasisStore, Vk: np.ndarray, k: int) -> jax.Array:
     return dev_part if out is None else out + dev_part
 
 
+@partial(
+    jax.jit, static_argnames=("b", "cdt", "bdt", "qr_method", "sharding")
+)
+def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding):
+    Omega = jax.random.normal(key, (op.n, b), dtype=cdt)
+    if sharding is not None:
+        Omega = jax.lax.with_sharding_constraint(Omega, sharding)
+    Y = op.apply(Omega)
+    Q1, _ = block_qr(Y, method=qr_method)
+    return Q1.astype(bdt)
+
+
 def random_start_block(op: LinearOperator, key, b: int, cfg: RBLConfig,
                        sharding=None):
     """Randomized start: Q₁ = qr(A·Ω).Q with Ω ~ N(0,1)ⁿˣᵇ (reference
-    RBL.jl:136-137 — note the single power-iteration step A·Ω)."""
-    n = op.n
-    cdt = jnp.dtype(cfg.compute_dtype)
-    Omega = jax.random.normal(key, (n, b), dtype=cdt)
-    if sharding is not None:
-        Omega = jax.device_put(Omega, sharding)
-    Y = op.apply(Omega)
-    Q1, _ = block_qr(Y, method=cfg.resolved_qr_method())
-    return Q1.astype(cfg.basis_dtype)
+    RBL.jl:136-137 — note the single power-iteration step A·Ω).  One jitted
+    dispatch: run eagerly, each op is a separate round-trip on a
+    remote-attached backend (~0.6 s measured for this one function)."""
+    return _start_block(
+        op, key, b=b, cdt=jnp.dtype(cfg.compute_dtype),
+        bdt=jnp.dtype(cfg.basis_dtype),
+        qr_method=cfg.resolved_qr_method(), sharding=sharding,
+    )
 
 
 def lanczos_iteration(
@@ -382,6 +401,31 @@ def lanczos_iteration(
             )
             store.ncols = ncols_new
 
+    # Full eig factorizations run in a worker thread (LAPACK releases the
+    # GIL), overlapped with the next chunk's transfer + screening + device
+    # sweep: the ~90-120 ms dsbevd at m ≈ max_kryl was the largest
+    # host-serial block left.  Convergence is then detected one chunk late;
+    # the extra chunk is rewound exactly like a mispredicted speculation.
+    pending = None  # in-flight poll: dict(future, i_poll, B_snap, Qprev)
+
+    def harvest(block: bool) -> None:
+        """Collect a finished (or, if block, in-flight) eig poll; on
+        convergence rewind everything past the poll's basis prefix."""
+        nonlocal pending, w_sel, V_sel, bounds, converged, Qprev
+        if pending is None or (not block and not pending["future"].done()):
+            return
+        with timer.section("eig_wait"):
+            w, V = pending["future"].result()
+        w_sel, V_sel = sort_eig_abs(w, V, k)
+        if check_convergence(pending["B_snap"], V_sel, b, k, cfg.tol):
+            from ..ops.eig import ritz_residual_bounds
+
+            bounds = ritz_residual_bounds(pending["B_snap"], V_sel, b)
+            converged = True
+            rewind_to((pending["i_poll"] - 1) * b)
+            Qprev = pending["Qprev"]
+        pending = None
+
     spec = dispatch() if i_next <= i_max else None
     while spec is not None:
         cur = spec
@@ -483,19 +527,30 @@ def lanczos_iteration(
             must_poll = w_prev is None or i >= i_max
             w_prev = w_scr
             if stable or must_poll or collapse_at is not None:
-                with timer.section("eig"):
-                    w, V = eig_banded_host(T.view(), backend=eig_bk)
-                    w_sel, V_sel = sort_eig_abs(w, V, k)
-                if check_convergence(B_last, V_sel, b, k, cfg.tol):
-                    from ..ops.eig import ritz_residual_bounds
-                    bounds = ritz_residual_bounds(B_last, V_sel, b)
-                    converged = True
-                    rewind_to((i - 1) * b)  # drop the speculated chunk
+                harvest(block=True)  # at most one poll in flight
+                if converged:
+                    break
+                snapshot = T.view().copy()  # T keeps growing under the thread
+                pending = dict(
+                    future=_EIG_EXECUTOR.submit(
+                        eig_banded_host, snapshot, eig_bk
+                    ),
+                    i_poll=i,
+                    B_snap=B_last,
+                    Qprev=Qprev,
+                    npanels=snapshot.shape[1] // b,
+                )
+            else:
+                harvest(block=False)
+                if converged:
                     break
         if collapse_at is None:
             T.set_subdiag(B_last, i - 1)
         if spec is None and i_next <= i_max and not converged:
             spec = dispatch()
+
+    final_panels = None if pending is None else pending["npanels"]
+    harvest(block=True)
 
     # the newest block Q_i completes the basis (cols = i·b); on the
     # converged path this mirrors the reference's final push (RBL.jl:113),
@@ -506,11 +561,14 @@ def lanczos_iteration(
         # Cap reached: final Rayleigh–Ritz with everything we have.  (The
         # reference returns the last poll's stale factorization here —
         # RBL.jl:116 — which can disagree with the stored basis length; we
-        # re-solve so D/V always match the basis.)
+        # re-solve so D/V always match the basis — unless the final async
+        # poll already factorized the full T, in which case its result IS
+        # the final factorization.)
         i_final = store.ncols // b
-        with timer.section("eig"):
-            w, V = eig_banded_host(T.view(store.ncols), backend=eig_bk)
-            w_sel, V_sel = sort_eig_abs(w, V, k)
+        if final_panels != i_final or w_sel is None:
+            with timer.section("eig"):
+                w, V = eig_banded_host(T.view(store.ncols), backend=eig_bk)
+                w_sel, V_sel = sort_eig_abs(w, V, k)
         from ..ops.eig import ritz_residual_bounds
         bounds = ritz_residual_bounds(np.asarray(B_last), V_sel, b)
         i = i_final

@@ -87,7 +87,7 @@ def rbl(
     V = None
     if compute_eigenvectors:
         Vk = np.asarray(V_sel)[:, ::-1]
-        V = recover_eigvec(store, Vk, k)
+        V = recover_eigvec(store, Vk)
         # Shifted Rayleigh-quotient refinement: the refined θ carries
         # O(eps·|θ|) rounding instead of the O(n·eps·‖A‖) accumulated in T.
         from .lanczos import _rayleigh_refine

@@ -199,7 +199,7 @@ def rbl_restarted(
             if state.count + ncomp >= k:
                 break
             if bounds[j] < cfg.tol:
-                qv = recover_eigvec(store, V[:, j : j + 1], 1)
+                qv = recover_eigvec(store, V[:, j : j + 1])
                 qv = qv / jnp.linalg.norm(qv)
                 state.lock_buf = _write_block(
                     state.lock_buf, qv, jnp.int32(state.count + ncomp)
@@ -207,7 +207,7 @@ def rbl_restarted(
                 state.locked_values[state.count + ncomp] = w[j]
                 ncomp += 1
             else:
-                next_start = recover_eigvec(store, V[:, j : j + 1], b)
+                next_start = recover_eigvec(store, V[:, j : j + 1])
                 break
         state.count += ncomp
         state.kryl_dim += cfg.restart_growth

@@ -385,6 +385,12 @@ def lanczos_iteration(
         store.ncols = col0_abs + S * b
         dev = (Qi_n, Qprev_n, Bi_n)
         i_next = i0 + S
+        try:
+            # start the device→host copy of the T blocks now so the RPC
+            # round-trip overlaps this chunk's host-side processing
+            TB.copy_to_host_async()
+        except Exception:
+            pass
         return dict(i0=i0, S=S, col0=col0_abs, TB=TB,
                     Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n, danger=danger)
 

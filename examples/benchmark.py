@@ -28,14 +28,25 @@ def main():
     p.add_argument("--blocks", default="4")
     p.add_argument("--tol", type=float, default=1e-7)
     p.add_argument("--arpack", action="store_true", help="cross-check with scipy eigsh")
-    p.add_argument("--f32", action="store_true", help="fp32 basis+compute")
+    p.add_argument("--repeat", type=int, default=2,
+                   help="solves per block size; the first includes XLA "
+                        "compile time for every basis-growth bucket "
+                        "(20-60 s each over a remote-compile tunnel), so "
+                        "the last repeat is the honest warm number")
+    p.add_argument("--f64", action="store_true",
+                   help="full f64 (default on CPU; on TPU the MXU has no "
+                        "f64 — emulation is ~10x slower and every kernel "
+                        "pays remote-compile latency)")
     args = p.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     import rbl_tpu as rt
     from rbl_tpu.config import RBLConfig
     from rbl_tpu.utils.profiling import Timer
+
+    use_f64 = args.f64 or jax.default_backend() == "cpu"
 
     if args.matrix:
         from rbl_tpu.utils.suitesparse import load_matrix
@@ -45,14 +56,14 @@ def main():
         label = args.matrix
     elif args.laplacian:
         s = args.laplacian
-        dt = jnp.float32 if args.f32 else jnp.float64
+        dt = jnp.float64 if use_f64 else jnp.float32
         op = rt.Laplacian2D(nx=s, ny=s, _dtype=dt)
         A = None
         label = f"laplacian2d-{s}x{s}"
     else:
         p.error("need --matrix or --laplacian")
 
-    dtype = jnp.float32 if args.f32 else jnp.float64
+    dtype = jnp.float64 if use_f64 else jnp.float32
     blocks = [int(x) for x in args.blocks.split(",")]
 
     # warm-up on a small random problem (benchmark.jl:57-58's JIT warm-up)
@@ -62,17 +73,21 @@ def main():
         cfg = RBLConfig(
             block_size=b, tol=args.tol,
             basis_dtype=dtype, compute_dtype=dtype,
-            qr_method="cholqr2" if args.f32 else "auto",
+            qr_method="auto" if use_f64 else "cholqr2",
         )
-        timer = Timer(sync=True)
-        t0 = time.perf_counter()
-        res = rt.rbl(op, args.k, b, cfg=cfg, timer=timer)
-        dt_solve = time.perf_counter() - t0
-        print(
-            f"[RBL b={b}] {label}: {dt_solve:.3f}s, converged={res.converged}, "
-            f"kryl={res.kryl_dim}, largest={res.eigenvalues[0]:.6e}, "
-            f"smallest={res.eigenvalues[-1]:.6e}"
-        )
+        for rep in range(max(args.repeat, 1)):
+            timer = Timer(sync=False)
+            t0 = time.perf_counter()
+            res = rt.rbl(op, args.k, b, cfg=cfg, timer=timer)
+            np.asarray(res.eigenvalues)
+            dt_solve = time.perf_counter() - t0
+            tag = "cold" if rep == 0 else "warm"
+            print(
+                f"[RBL b={b} {tag}] {label}: {dt_solve:.3f}s, "
+                f"converged={res.converged}, kryl={res.kryl_dim}, "
+                f"largest={res.eigenvalues[0]:.6e}, "
+                f"smallest={res.eigenvalues[-1]:.6e}"
+            )
         print(timer.report())
 
     if args.arpack:

@@ -45,6 +45,25 @@ _EIG_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
 )
 
 
+def _poll_task(snapshot, k, backend, w_prev, tol, force_full):
+    """One convergence poll, run on the eig worker thread: a values-only
+    screen (dsbevd eigenvalues path) gates the full factorization — the
+    residual bounds need eigenvectors, but they cannot pass while the top-k
+    Ritz values are still moving by more than tol·|λ|max between polls.
+    Returns (screened top-k values, (w, V) or None)."""
+    w_scr = eig_banded_values_topk(snapshot, k)
+    stable = (
+        w_prev is not None
+        and len(w_prev) == len(w_scr)
+        and np.max(np.abs(w_scr - w_prev))
+        <= tol * max(np.abs(w_scr).max(), np.finfo(np.float64).tiny)
+    )
+    full = None
+    if stable or force_full:
+        full = eig_banded_host(snapshot, backend=backend)
+    return w_scr, full
+
+
 @dataclasses.dataclass
 class LanczosResult:
     eigenvalues: np.ndarray          # (k,), descending by |λ|
@@ -329,7 +348,9 @@ def lanczos_iteration(
     # rare, both handled by zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
     w_prev = None      # screened top-k Ritz values from the previous poll
+    next_poll_cols = 0  # geometric poll backoff (see the poll block)
     danger = False     # near-invariant-subspace reorth escalation
+    calm_chunks = 0    # consecutive chunks clear of the danger regime
     converged = False
     i = 1              # Lanczos iterations completed (host view)
     i_max = max_kryl // b
@@ -417,19 +438,21 @@ def lanczos_iteration(
     def harvest(block: bool) -> None:
         """Collect a finished (or, if block, in-flight) eig poll; on
         convergence rewind everything past the poll's basis prefix."""
-        nonlocal pending, w_sel, V_sel, bounds, converged, Qprev
+        nonlocal pending, w_sel, V_sel, bounds, converged, Qprev, w_prev
         if pending is None or (not block and not pending["future"].done()):
             return
         with timer.section("eig_wait"):
-            w, V = pending["future"].result()
-        w_sel, V_sel = sort_eig_abs(w, V, k)
-        if check_convergence(pending["B_snap"], V_sel, b, k, cfg.tol):
-            from ..ops.eig import ritz_residual_bounds
+            w_scr, full = pending["future"].result()
+        w_prev = w_scr
+        if full is not None:
+            w_sel, V_sel = sort_eig_abs(full[0], full[1], k)
+            if check_convergence(pending["B_snap"], V_sel, b, k, cfg.tol):
+                from ..ops.eig import ritz_residual_bounds
 
-            bounds = ritz_residual_bounds(pending["B_snap"], V_sel, b)
-            converged = True
-            rewind_to((pending["i_poll"] - 1) * b)
-            Qprev = pending["Qprev"]
+                bounds = ritz_residual_bounds(pending["B_snap"], V_sel, b)
+                converged = True
+                rewind_to((pending["i_poll"] - 1) * b)
+                Qprev = pending["Qprev"]
         pending = None
 
     spec = dispatch() if i_next <= i_max else None
@@ -492,17 +515,25 @@ def lanczos_iteration(
             spec = None  # speculated chunk consumed garbage state
 
         # danger-mode hysteresis: enter every-step CGS2 reorth while any
-        # ‖B_s‖ sits below 1e-2·tscale (ghost re-amplification regime),
-        # leave once it recovers above 1e-1·tscale.  A speculated chunk
-        # dispatched under a stale policy is discarded and re-run.
+        # ‖B_s‖ sits below 1e-2·tscale (ghost re-amplification regime);
+        # leave only after 3 consecutive chunks clear of 1e-1·tscale —
+        # danger reorth itself restores ‖B‖, so an eager exit oscillates,
+        # and every policy flip discards the speculated chunk AND compiles
+        # a fresh _sweep_chunk variant (measured: 44 dispatches for an
+        # 11-chunk solve).  A speculated chunk dispatched under a stale
+        # policy is discarded and re-run.
         min_B = min(
             float(np.abs(TB[2 * s + 1]).max()) for s in range(done)
         )
-        prev_danger = danger
         if min_B < 1e-2 * tscale:
             danger = True
+            calm_chunks = 0
         elif min_B > 1e-1 * tscale:
-            danger = False
+            calm_chunks += 1
+            if calm_chunks >= 3:
+                danger = False
+        else:
+            calm_chunks = 0
         if spec is not None and spec["danger"] != danger:
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
@@ -511,45 +542,35 @@ def lanczos_iteration(
 
         # poll at the chunk boundary (reference cadence RBL.jl:106), and
         # immediately on breakdown — the Krylov space is nearly invariant
-        # then, so the Rayleigh–Ritz values are ripe *now*.  Polls are
-        # value-screened: dsbevd's values-only path is ~6x cheaper than the
-        # full factorization, and the residual bounds (which need the
-        # eigenvectors' last b rows) cannot pass while the Ritz values are
-        # still moving — so vectors are computed only once the top-k values
-        # have stabilized to within tol·|λ|max between polls.
-        if i * b > k:
-            with timer.section("eig_screen"):
-                w_scr = eig_banded_values_topk(T.view(), k)
-            stable = (
-                w_prev is not None
-                and len(w_prev) == len(w_scr)
-                and np.max(np.abs(w_scr - w_prev))
-                <= cfg.tol * max(np.abs(w_scr).max(), np.finfo(np.float64).tiny)
+        # then, so the Rayleigh–Ritz values are ripe *now*.  Every poll runs
+        # on the eig worker thread (values-only screen gating the full
+        # factorization — see _poll_task) overlapped with device sweeps,
+        # and polls back off geometrically: even the values-only solve is
+        # O(m²b) (~160 ms at m = 1400), so polling every chunk at large m
+        # costs more than the sweeps themselves (measured 7.1 s of an
+        # 11.1 s solve).
+        force_poll = i >= i_max or collapse_at is not None
+        if i * b > k and (i * b >= next_poll_cols or force_poll):
+            harvest(block=True)  # at most one poll in flight
+            if converged:
+                break
+            snapshot = T.view().copy()  # T keeps growing under the thread
+            pending = dict(
+                future=_EIG_EXECUTOR.submit(
+                    _poll_task, snapshot, k, eig_bk, w_prev, cfg.tol,
+                    w_prev is None or force_poll,
+                ),
+                i_poll=i,
+                B_snap=B_last,
+                Qprev=Qprev,
+                npanels=snapshot.shape[1] // b,
             )
-            # never let the screen swallow the first eligible poll (T is
-            # small, the full solve is cheap, and the old per-poll
-            # semantics could converge there) or the final one before the
-            # Krylov cap (no second chance)
-            must_poll = w_prev is None or i >= i_max
-            w_prev = w_scr
-            if stable or must_poll or collapse_at is not None:
-                harvest(block=True)  # at most one poll in flight
-                if converged:
-                    break
-                snapshot = T.view().copy()  # T keeps growing under the thread
-                pending = dict(
-                    future=_EIG_EXECUTOR.submit(
-                        eig_banded_host, snapshot, eig_bk
-                    ),
-                    i_poll=i,
-                    B_snap=B_last,
-                    Qprev=Qprev,
-                    npanels=snapshot.shape[1] // b,
-                )
-            else:
-                harvest(block=False)
-                if converged:
-                    break
+            m_now = i * b
+            next_poll_cols = m_now + max(S * b, m_now // 4)
+        else:
+            harvest(block=False)
+            if converged:
+                break
         if collapse_at is None:
             T.set_subdiag(B_last, i - 1)
         if spec is None and i_next <= i_max and not converged:
@@ -557,6 +578,11 @@ def lanczos_iteration(
 
     final_panels = None if pending is None else pending["npanels"]
     harvest(block=True)
+    if w_sel is not None and not converged and final_panels is not None:
+        # the final poll may have produced only a screen; its stale V_sel
+        # (from an earlier, shorter T) must not masquerade as the final
+        # factorization
+        final_panels = final_panels if V_sel.shape[0] == final_panels * b else None
 
     # the newest block Q_i completes the basis (cols = i·b); on the
     # converged path this mirrors the reference's final push (RBL.jl:113),

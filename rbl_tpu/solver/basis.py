@@ -182,6 +182,55 @@ class BasisStore:
         reorth)."""
         return self.buf
 
+    def read_block(self, col: int, width: int):
+        """One (n, width) block by GLOBAL column index, whichever tier it
+        lives in (host panels re-enter the device)."""
+        if col >= self.dev_base:
+            return jax.lax.dynamic_slice(
+                self.buf, (jnp.int32(0), jnp.int32(col - self.dev_base)),
+                (self.n, width),
+            )
+        base = 0
+        for panel in self.host_panels:
+            w = panel.shape[1]
+            if col < base + w:
+                assert col - base + width <= w, "block straddles panels"
+                part = jax.device_put(panel)  # host → default device memory
+                return jax.lax.dynamic_slice(
+                    part, (jnp.int32(0), jnp.int32(col - base)),
+                    (self.n, width),
+                )
+            base += w
+        raise IndexError(f"column {col} beyond stored range")
+
+    def rewind(self, ncols_new: int, zero_fn) -> None:
+        """Discard all columns ≥ ncols_new (speculation / breakdown / stale
+        convergence-poll rewind), dropping or trimming host panels when the
+        target predates the device tier.  ``zero_fn(buf, lo, hi)`` zeros a
+        device-column range (donating)."""
+        if self.ncols <= ncols_new:
+            return
+        if ncols_new >= self.dev_base:
+            self.buf = zero_fn(
+                self.buf,
+                jnp.int32(ncols_new - self.dev_base),
+                jnp.int32(self.ncols - self.dev_base),
+            )
+            self.ncols = ncols_new
+            return
+        # target predates the device tier: the kept prefix lives entirely
+        # in host panels — drop/trim panels, empty the device tier
+        while self.dev_base > ncols_new and self.host_panels:
+            panel = self.host_panels.pop()
+            w = panel.shape[1]
+            self.dev_base -= w
+            if self.dev_base < ncols_new:
+                keep_w = ncols_new - self.dev_base
+                self.host_panels.append(panel[:, :keep_w])
+                self.dev_base += keep_w
+        self.buf = zero_fn(self.buf, jnp.int32(0), jnp.int32(self.capacity))
+        self.ncols = ncols_new
+
     def host_tier(self):
         """The pinned-host overflow panels, oldest first (may be empty)."""
         return self.host_panels

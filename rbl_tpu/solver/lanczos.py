@@ -189,14 +189,6 @@ def _zero_cols_range(buf, lo, hi):
     return buf * keep.astype(buf.dtype)
 
 
-@partial(jax.jit, static_argnames=("b",))
-def _read_block(buf, col0, b):
-    """Slice one (n, b) block out of the basis buffer (stays on device)."""
-    return jax.lax.dynamic_slice(
-        buf, (jnp.int32(0), col0), (buf.shape[0], b)
-    )
-
-
 @partial(jax.jit, static_argnames=("qr_method",))
 def _rerandomize_block(basis_buf, Qi, Qprev, key, qr_method):
     """Breakdown recovery: replace a numerically rank-deficient residual
@@ -416,17 +408,11 @@ def lanczos_iteration(
                     Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n, danger=danger)
 
     def rewind_to(ncols_new):
-        """Zero basis columns beyond ncols_new (discard speculated /
-        degenerate writes) and reset the column count.  Rewind targets are
-        always chunk-recent, hence device-resident (the store keeps at
-        least two chunks on device before offloading)."""
-        if store.ncols > ncols_new:
-            store.buf = _zero_cols_range(
-                store.buf,
-                jnp.int32(ncols_new - store.dev_base),
-                jnp.int32(store.ncols - store.dev_base),
-            )
-            store.ncols = ncols_new
+        """Discard basis columns beyond ncols_new (speculated, degenerate,
+        or post-convergence writes).  Tier-aware: with host offload active,
+        a stale convergence poll or a breakdown can target columns that
+        were already offloaded — BasisStore.rewind drops/trims panels."""
+        store.rewind(ncols_new, _zero_cols_range)
 
     # Full eig factorizations run in a worker thread (LAPACK releases the
     # GIL), overlapped with the next chunk's transfer + screening + device
@@ -500,10 +486,9 @@ def lanczos_iteration(
             # deflation split.
             if collapse_at < S - 1:
                 # Q_i sits at step s*+1's write; read it before rewinding
+                # (tier-aware: it may already have been offloaded)
                 qcol = col0_abs + (collapse_at + 1) * b
-                Qprev = _read_block(
-                    store.buf, jnp.int32(qcol - store.dev_base), b=b
-                )
+                Qprev = store.read_block(qcol, b)
             rewind_to((i - 1) * b)
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):

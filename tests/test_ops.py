@@ -283,3 +283,38 @@ def test_basis_store_offload_exact_contents():
         axis=1,
     )
     np.testing.assert_array_equal(got, np.concatenate(blocks, axis=1))
+
+
+def test_basis_store_rewind_across_tiers():
+    """Tier-aware rewind: a rewind target inside (or before) offloaded
+    panels must drop/trim panels and leave exactly the prefix readable."""
+    import jax.numpy as jnp
+    from rbl_tpu.solver.basis import BasisStore
+    from rbl_tpu.solver.lanczos import _zero_cols_range
+
+    rng = np.random.default_rng(1)
+    n, b, cap = 24, 4, 16
+    store = BasisStore(n, b, max_cols=96, dtype=jnp.float64,
+                       device_cap_cols=cap)
+    blocks = [rng.standard_normal((n, b)) for _ in range(14)]
+    for blk in blocks:
+        store.append(jnp.asarray(blk))
+    assert store.dev_base > 20  # offload actually happened
+    target_cols = 20  # predates the device tier
+    store.rewind(target_cols, _zero_cols_range)
+    assert store.ncols == target_cols
+    got = np.concatenate(
+        [np.asarray(p) for p in store.host_tier()]
+        + ([np.asarray(store.view())[:, : store.dev_ncols]]
+           if store.dev_ncols else []),
+        axis=1,
+    )
+    np.testing.assert_array_equal(
+        got, np.concatenate(blocks, axis=1)[:, :target_cols]
+    )
+    # read_block across tiers
+    blk2 = np.asarray(store.read_block(4, 4))
+    np.testing.assert_array_equal(blk2, blocks[1])
+    # appends continue cleanly
+    store.append(jnp.asarray(blocks[0]))
+    assert store.ncols == target_cols + b

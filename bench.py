@@ -36,11 +36,22 @@ def run(timed: bool):
     t0 = time.perf_counter()
     res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)
     if res.eigenvectors is not None:
-        import jax
-
-        jax.block_until_ready(res.eigenvectors)
+        # Fetch ONE scalar of V: on the remote-attached backend
+        # block_until_ready can return early (CLAUDE.md gotcha #3), and a
+        # bulk np.asarray of the (n, k) eigenvectors would time the tunnel's
+        # (highly variable) bulk throughput rather than the solver.  The
+        # scalar read forces completion of the whole compute graph at the
+        # cost of one RPC.
+        float(res.eigenvectors[0, 0])
     dt = time.perf_counter() - t0
     return dt, res
+
+
+# The reference publishes no timings (BASELINE.md).  The recorded baseline is
+# a reference-shaped loop (per-iteration host↔device sync for T assembly,
+# per-block reorth GEMMs — the structure of RBL_gpu.jl:134-203) run on THIS
+# hardware with identical numerics: 8.05 s for the same solve (BENCHMARKS.md).
+_REFERENCE_SHAPED_LOOP_S = 8.05
 
 
 def main():
@@ -52,7 +63,7 @@ def main():
                 "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8_f32",
                 "value": round(dt, 3),
                 "unit": "s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(_REFERENCE_SHAPED_LOOP_S / dt, 2),
             }
         )
     )

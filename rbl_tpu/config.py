@@ -85,6 +85,21 @@ class RBLConfig:
         hierarchy (RBL_gpu.jl:59-81,95-104,168-169) re-designed with bulk
         compaction instead of per-block streaming.  None (default) keeps
         the whole basis in HBM.
+    chunk_growth_cap:
+        Cap (as a multiple of ``eig_poll_cadence``) on the geometric growth
+        of the fused sweep-chunk length.  Chunks start at the poll cadence
+        and double every second chunk, mirroring the geometric poll backoff:
+        late in the sweep, convergence polls are sparse, so there is no
+        reason to pay a device→host round-trip per cadence window (each
+        costs a full RPC on a remote-attached TPU).  1 disables growth
+        (fixed reference-style cadence windows).
+    pipeline_depth:
+        Number of sweep chunks kept in flight ahead of the one whose T
+        blocks the host is reading.  At depth ≥ 2 the blocking device→host
+        read of chunk c's T blocks overlaps chunk c+1's (and c+2's) device
+        sweep, so the host pays only the RPC latency, not the chunk compute.
+        Speculated chunks wasted at convergence/breakdown are rewound
+        (device-side only).  1 reproduces the single-speculation pipeline.
     """
 
     block_size: int = 4
@@ -103,6 +118,8 @@ class RBLConfig:
     rows_axis: str = "rows"
     hbm_budget_fraction: float = 0.8
     basis_device_cap_cols: Optional[int] = None
+    chunk_growth_cap: int = 4
+    pipeline_depth: int = 2
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)
@@ -119,7 +136,8 @@ class RBLConfig:
                 f"max_kryl_dim={self.max_kryl_dim} < block_size={self.block_size}"
             )
         for name in ("partial_reorth_cadence", "eig_poll_cadence",
-                     "loc_reorth_passes", "restart_reorth_cadence"):
+                     "loc_reorth_passes", "restart_reorth_cadence",
+                     "chunk_growth_cap", "pipeline_depth"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be ≥ 1")
         if self.qr_method not in ("auto", "householder", "cholqr2", "cholqr3"):

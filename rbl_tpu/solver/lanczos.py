@@ -51,6 +51,14 @@ def _poll_task(snapshot, k, backend, w_prev, tol, force_full):
     residual bounds need eigenvectors, but they cannot pass while the top-k
     Ritz values are still moving by more than tol·|λ|max between polls.
     Returns (screened top-k values, (w, V) or None)."""
+    if force_full:
+        # the full factorization runs regardless — its eigenvalues subsume
+        # the O(m²b) values-only screen, so skip it (the final forced poll
+        # sits on the critical path: nothing is left to overlap it with)
+        full = eig_banded_host(snapshot, backend=backend)
+        w_all = full[0]
+        idx = np.argsort(np.abs(w_all))[-min(k, len(w_all)):]
+        return w_all[idx], full
     w_scr = eig_banded_values_topk(snapshot, k)
     stable = (
         w_prev is not None
@@ -333,14 +341,18 @@ def lanczos_iteration(
     # per-iteration D→H of b×b blocks, RBL_gpu.jl:159-161,185, is nearly
     # free over PCIe but is the wrong grain here).  So: (a) one fused
     # dispatch per eig-poll window, returning all of its T blocks in a
-    # single stacked transfer; (b) the NEXT chunk is dispatched before the
-    # current chunk's results are read back, so the device sweeps window
-    # c+1 while the host factorizes T for window c.  Speculation only
-    # wastes work on the final window (convergence) or on breakdown — both
-    # rare, both handled by zeroing the speculated basis columns.
+    # single stacked transfer; (b) up to cfg.pipeline_depth later chunks
+    # are dispatched before the current chunk's results are read back, so
+    # the device sweeps windows c+1.. while the host factorizes T for
+    # window c and the blocking TB read pays only the RPC latency; (c)
+    # chunk lengths grow geometrically (chunk_growth_cap) so late-sweep
+    # round-trips amortize.  Speculation only wastes work on the final
+    # windows (convergence) or on breakdown — both rare, both handled by
+    # zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
     w_prev = None      # screened top-k Ritz values from the previous poll
     next_poll_cols = 0  # geometric poll backoff (see the poll block)
+    fine_poll = False  # near convergence: pin polls to the base cadence
     danger = False     # near-invariant-subspace reorth escalation
     calm_chunks = 0    # consecutive chunks clear of the danger regime
     converged = False
@@ -350,11 +362,39 @@ def lanczos_iteration(
     dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
     pr, dc = cfg.partial_reorth_cadence, cfg.restart_reorth_cadence
 
+    n_chunks = 0  # chunks dispatched so far (drives geometric chunk growth)
+
     def dispatch():
         """Launch one chunk against the current device state (async)."""
-        nonlocal dev, i_next
+        nonlocal dev, i_next, n_chunks
         i0 = i_next
-        S = min(cfg.eig_poll_cadence, i_max - i0 + 1)
+        # Geometric chunk growth, mirroring the geometric poll backoff:
+        # chunks double every second eligible dispatch up to
+        # chunk_growth_cap× the poll cadence — late in the sweep polls are
+        # sparse, and each chunk boundary costs a full device→host RPC
+        # round-trip on a remote-attached TPU.  Growth requires a *calm*
+        # spectrum (≥ 2 consecutive chunks with healthy ‖B‖): near the
+        # danger regime, policy flips discard every in-flight chunk, so a
+        # grown speculated chunk is expensive wasted work (measured 2.3×
+        # on the large-gap step_decay suite).  Danger mode and the
+        # deflating sweep pin the base size (their reorth/deflate patterns
+        # recompile per length, and breakdown monitoring wants fine
+        # granularity).
+        if (
+            cfg.chunk_growth_cap > 1
+            and not danger
+            and calm_chunks >= 2
+            and lock_basis is None
+        ):
+            grow = min(cfg.chunk_growth_cap, 2 << (n_chunks // 2))
+            n_chunks += 1
+        else:
+            grow = 1
+        S = min(cfg.eig_poll_cadence * grow, i_max - i0 + 1)
+        if cfg.basis_device_cap_cols is not None:
+            # the two-tier store needs ≥ 2·window + 2b device-resident
+            # columns per append window (BasisStore._ensure feasibility)
+            S = max(1, min(S, (cfg.basis_device_cap_cols // b - 2) // 2))
         # danger mode: ‖B‖ has collapsed toward an invariant subspace, where
         # ghost components of converged directions re-amplify by ~‖A‖/‖B‖
         # per iteration — reorthogonalize EVERY step with CGS2 against the
@@ -425,26 +465,63 @@ def lanczos_iteration(
         """Collect a finished (or, if block, in-flight) eig poll; on
         convergence rewind everything past the poll's basis prefix."""
         nonlocal pending, w_sel, V_sel, bounds, converged, Qprev, w_prev
+        nonlocal fine_poll, next_poll_cols
         if pending is None or (not block and not pending["future"].done()):
             return
         with timer.section("eig_wait"):
             w_scr, full = pending["future"].result()
         w_prev = w_scr
         if full is not None:
-            w_sel, V_sel = sort_eig_abs(full[0], full[1], k)
-            if check_convergence(pending["B_snap"], V_sel, b, k, cfg.tol):
-                from ..ops.eig import ritz_residual_bounds
+            from ..ops.eig import ritz_residual_bounds
 
-                bounds = ritz_residual_bounds(pending["B_snap"], V_sel, b)
+            w_sel, V_sel = sort_eig_abs(full[0], full[1], k)
+            bounds_now = ritz_residual_bounds(
+                np.asarray(pending["B_snap"]), np.asarray(V_sel[:, :k]), b
+            )
+            if not fine_poll and np.mean(bounds_now <= cfg.tol) >= 0.25:
+                # a meaningful fraction of the Ritz pairs already meets the
+                # residual bound: the all-or-nothing convergence window is
+                # near.  Pin polls back to the base cadence — convergence
+                # lives in a window (past it, converged directions
+                # re-amplify and corrupt the basis), and the geometric
+                # stride (~m/4 columns) can step clean over it.
+                fine_poll = True
+                next_poll_cols = min(
+                    next_poll_cols,
+                    pending["i_poll"] * b + cfg.eig_poll_cadence * b,
+                )
+            if bool(np.all(bounds_now <= cfg.tol)):
+                bounds = bounds_now
                 converged = True
+                Qp = pending["Qprev"]
+                if Qp is None:
+                    # mid-chunk poll: Q_{i_poll} lives in the basis store
+                    # (read before the rewind truncates it away)
+                    Qp = store.read_block((pending["i_poll"] - 1) * b, b)
                 rewind_to((pending["i_poll"] - 1) * b)
-                Qprev = pending["Qprev"]
+                Qprev = Qp
         pending = None
 
-    spec = dispatch() if i_next <= i_max else None
-    while spec is not None:
-        cur = spec
-        spec = dispatch() if i_next <= i_max else None  # speculative
+    # In-flight chunk pipeline: up to cfg.pipeline_depth chunks are
+    # dispatched ahead of the one whose T blocks the host reads next, so
+    # the blocking TB read overlaps the later chunks' device sweeps (at
+    # depth 1 this is the single-speculation pipeline; ≥ 2 hides the chunk
+    # compute entirely and the host pays only the RPC latency).
+    from collections import deque
+
+    inflight: deque = deque()
+
+    def top_up():
+        # deep speculation only on a calm spectrum: near the danger regime
+        # every policy flip discards all in-flight chunks (see dispatch)
+        depth = cfg.pipeline_depth if (not danger and calm_chunks >= 2) else 1
+        while len(inflight) < max(1, depth) and i_next <= i_max and not converged:
+            inflight.append(dispatch())
+
+    top_up()
+    while inflight:
+        cur = inflight.popleft()
+        top_up()  # keep the pipeline full while we block on cur's TB
         with timer.section("transfer"):
             TB = np.asarray(cur["TB"])  # (2S, b, b): [A_s, B_s] pairs
         i0, S, col0_abs = cur["i0"], cur["S"], cur["col0"]
@@ -462,6 +539,7 @@ def lanczos_iteration(
         # j = i0+s; it consumed (Q_j, Q_{j-1}, B_j), wrote Q_{j-1} to the
         # basis, and produced (A_j, B_{j+1}).
         collapse_at = None
+        danger_at = None  # first mid-chunk step entering the danger regime
         for s in range(S):
             A_s, B_s = TB[2 * s], TB[2 * s + 1]
             T.append_diag(A_s)
@@ -469,9 +547,23 @@ def lanczos_iteration(
             if np.abs(B_s).max() < np.sqrt(eps) * tscale:
                 collapse_at = s  # B_{j+1} ≈ 0: steps after s are noise
                 break
+            if (
+                not cur["danger"]
+                and np.abs(B_s).max() < 1e-2 * tscale
+                and s < S - 1
+            ):
+                # ‖B‖ entered the ghost re-amplification regime mid-chunk,
+                # and the rest of the chunk ran under the calm cadence-2
+                # policy — with grown chunks that is long enough to lose the
+                # basis to ghosts.  Truncate processing here; the handler
+                # below rewinds to this step and resumes in danger mode.
+                danger_at = s
+                break
             if s < S - 1:
                 T.set_subdiag(B_s, i0 + s - 1)
-        done = S if collapse_at is None else collapse_at + 1
+        done = S if collapse_at is None and danger_at is None else (
+            (collapse_at if collapse_at is not None else danger_at) + 1
+        )
         i = i0 + done - 1
         B_last = TB[2 * (done - 1) + 1]
         Qprev = cur["Qprev"]
@@ -497,7 +589,32 @@ def lanczos_iteration(
                 )
             dev = (Qi_new, Qprev, jnp.asarray(B_last))
             i_next = i + 1
-            spec = None  # speculated chunk consumed garbage state
+            inflight.clear()  # speculated chunks consumed garbage state
+
+        if danger_at is not None:
+            # Mid-chunk danger onset (see the scan above): discard the
+            # calm-policy tail of this chunk and the speculated one, restore
+            # the state invariant at iteration i = i0 + danger_at, and
+            # resume with every-step CGS2 reorth.  Q_i and Q_{i+1} were
+            # written to the basis by the (discarded) later steps, so they
+            # are read back before the rewind; B_{i+1} is TB's entry for the
+            # onset step.  This mirrors what the base-cadence solver does —
+            # enter danger mode within ≤ cadence iterations of onset —
+            # independent of the grown chunk length.
+            q_col = col0_abs + (danger_at + 1) * b
+            Q_i = store.read_block(q_col, b)
+            if danger_at + 2 <= S - 1:
+                Q_ip1 = store.read_block(q_col + b, b)
+            else:  # danger_at == S-2: Q_{i+1} is the chunk-end Qprev
+                Q_ip1 = cur["Qprev"]
+            rewind_to((i - 1) * b)
+            Qprev = Q_i
+            dev = (Q_ip1, Q_i, jnp.asarray(B_last))
+            i_next = i + 1
+            danger = True
+            calm_chunks = 0
+            n_chunks = 0  # restart chunk growth from the base cadence
+            inflight.clear()  # speculated chunks ran under the stale calm policy
 
         # danger-mode hysteresis: enter every-step CGS2 reorth while any
         # ‖B_s‖ sits below 1e-2·tscale (ghost re-amplification regime);
@@ -519,47 +636,87 @@ def lanczos_iteration(
                 danger = False
         else:
             calm_chunks = 0
-        if spec is not None and spec["danger"] != danger:
+        if inflight and inflight[0]["danger"] != danger:
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
             i_next = i + 1
-            spec = None
+            n_chunks = 0  # restart chunk growth from the base cadence
+            inflight.clear()
 
-        # poll at the chunk boundary (reference cadence RBL.jl:106), and
-        # immediately on breakdown — the Krylov space is nearly invariant
-        # then, so the Rayleigh–Ritz values are ripe *now*.  Every poll runs
-        # on the eig worker thread (values-only screen gating the full
-        # factorization — see _poll_task) overlapped with device sweeps,
-        # and polls back off geometrically: even the values-only solve is
-        # O(m²b) (~160 ms at m = 1400), so polling every chunk at large m
-        # costs more than the sweeps themselves (measured 7.1 s of an
-        # 11.1 s solve).
+        # Convergence polls (reference cadence RBL.jl:106; immediately on
+        # breakdown — the Krylov space is nearly invariant then, so the
+        # Rayleigh–Ritz values are ripe *now*).  Every poll runs on the eig
+        # worker thread (values-only screen gating the full factorization —
+        # see _poll_task) overlapped with device sweeps, and polls back off
+        # geometrically: even the values-only solve is O(m²b) (~160 ms at
+        # m = 1400), so polling every window at large m costs more than the
+        # sweeps themselves (measured 7.1 s of an 11.1 s solve).
+        #
+        # Polls are DECOUPLED from chunk boundaries: the chunk's TB carries
+        # every per-step T block, so T can be factorized at any panel prefix
+        # j ≤ i — a grown chunk does not coarsen the poll schedule.  (It
+        # must not: convergence lives in a window — past it, converged Ritz
+        # directions re-amplify through rounding and corrupt the basis — and
+        # a chunk-sized poll stride can step clean over that window.)
         force_poll = i >= i_max or collapse_at is not None
-        if i * b > k and (i * b >= next_poll_cols or force_poll):
-            harvest(block=True)  # at most one poll in flight
-            if converged:
-                break
-            snapshot = T.view().copy()  # T keeps growing under the thread
+        polled = False
+
+        def submit_poll(j):
+            """Queue a poll of T's j-panel prefix on the eig worker, and
+            advance the backoff schedule (geometric ~m/4 stride far from
+            convergence, base cadence once fine_poll is set)."""
+            nonlocal pending, next_poll_cols, polled
+            snapshot = T.view(j * b).copy()  # T keeps growing under the thread
+            if j == i:
+                B_snap, Qp = B_last, Qprev
+            else:
+                # mid-chunk prefix: B_{j+1} from the chunk's TB; Q_j is read
+                # from the basis store only if this poll converges
+                B_snap, Qp = TB[2 * (j - i0) + 1], None
             pending = dict(
                 future=_EIG_EXECUTOR.submit(
                     _poll_task, snapshot, k, eig_bk, w_prev, cfg.tol,
-                    w_prev is None or force_poll,
+                    w_prev is None or (force_poll and j == i),
                 ),
-                i_poll=i,
-                B_snap=B_last,
-                Qprev=Qprev,
-                npanels=snapshot.shape[1] // b,
+                i_poll=j,
+                B_snap=B_snap,
+                Qprev=Qp,
+                npanels=j,
             )
-            m_now = i * b
-            next_poll_cols = m_now + max(S * b, m_now // 4)
-        else:
+            stride = (
+                cfg.eig_poll_cadence * b
+                if fine_poll
+                else max(cfg.eig_poll_cadence * b, (j * b) // 4)
+            )
+            next_poll_cols = j * b + stride
+            polled = True
+
+        if i * b > k:
+            while next_poll_cols <= i * b and not converged:
+                harvest(block=True)  # at most one poll in flight
+                if converged:
+                    break
+                # fine_poll may have just flipped — next_poll_cols reflects it
+                if next_poll_cols > i * b:
+                    break
+                submit_poll(min(i, max((next_poll_cols + b - 1) // b, k // b + 1)))
+            if (
+                force_poll
+                and not converged
+                and (pending is None or pending["i_poll"] < i)
+            ):
+                harvest(block=True)
+                if not converged:
+                    submit_poll(i)
+        if converged:
+            break
+        if not polled:
             harvest(block=False)
             if converged:
                 break
         if collapse_at is None:
             T.set_subdiag(B_last, i - 1)
-        if spec is None and i_next <= i_max and not converged:
-            spec = dispatch()
+        top_up()
 
     final_panels = None if pending is None else pending["npanels"]
     harvest(block=True)

@@ -200,6 +200,30 @@ def test_eig_banded_topk_matches_full():
     np.testing.assert_allclose(w_k, sort_eig_abs(w, V, m)[0], atol=1e-12)
 
 
+def test_eig_banded_topk_dense_matches_full():
+    """The MRRR dense-subset path (the poll hot path) must reproduce
+    sort_eig_abs over the full dsbevd factorization, including indefinite
+    spectra where the top-k straddles both ends, and must fall back to the
+    full solve at large k/m."""
+    from rbl_tpu.ops.eig import eig_banded_topk_dense
+
+    rng = np.random.default_rng(12)
+    b, m = 3, 60
+    band = np.zeros((b + 1, m))
+    band[0] = rng.standard_normal(m) * 5.0  # indefinite diagonal
+    band[1:, : m - 1] = 0.3 * rng.standard_normal((b, m - 1))
+    w, V = eig_banded_host(band)
+    for k in [1, 5, 17, 40]:  # 40 > m/3 exercises the fallback
+        w_ref, V_ref = sort_eig_abs(w, V, k)
+        w_k, V_k = eig_banded_topk_dense(band, k)
+        np.testing.assert_allclose(w_k, w_ref, atol=1e-12)
+        assert V_k.shape == (m, k)
+        for j in range(k):
+            d = min(np.linalg.norm(V_k[:, j] - V_ref[:, j]),
+                    np.linalg.norm(V_k[:, j] + V_ref[:, j]))
+            assert d < 1e-9
+
+
 def test_basis_store_host_offload_solve():
     """Two-tier basis store: a device cap far below the Krylov need forces
     pinned-host offload + hybrid reorth + two-tier recovery; eigenpairs

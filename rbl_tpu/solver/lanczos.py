@@ -38,6 +38,19 @@ from ..ops.spmm.operator import LinearOperator, _pet
 from .basis import BasisStore
 
 
+import os
+
+# Observability: RBL_DEBUG=1 prints solver state transitions (danger /
+# selective mode, breakdowns, rewinds) with iteration numbers — the
+# structured upgrade of the reference's bare printlns (RBL.jl:115).
+_DEBUG = bool(int(os.environ.get("RBL_DEBUG", "0")))
+
+
+def _dbg(msg):
+    if _DEBUG:
+        print(f"[rbl] {msg}", flush=True)
+
+
 # Worker for host-side eig factorizations, overlapped with device sweeps
 # (LAPACK releases the GIL).  One thread: at most one poll is in flight.
 _EIG_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
@@ -45,12 +58,20 @@ _EIG_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
 )
 
 
-def _poll_task(snapshot, k, backend, w_prev, tol, force_full):
+def _poll_task(snapshot, k, backend, chain, tol, force_full):
     """One convergence poll, run on the eig worker thread: a values-only
     screen (dsbevd eigenvalues path) gates the full factorization — the
     residual bounds need eigenvectors, but they cannot pass while the top-k
     Ritz values are still moving by more than tol·|λ|max between polls.
-    Returns (screened top-k values, (w, V) or None)."""
+
+    ``chain`` carries the previous poll's screen between tasks ON the
+    worker thread (single worker → sequential), so the screen-to-screen
+    comparisons feeding both the stability gate and the solver's selective
+    trigger are deterministic — harvesting them on the main thread made
+    the comparison pairs depend on wall-clock harvest timing.
+    Returns (screen, previous poll's screen, (w, V) or None)."""
+    w_prev = chain.get("w")
+
     def factorize():
         if backend == "scipy":
             # top-k-only factorization (values sweep + MRRR subset): ~2.3×
@@ -67,7 +88,8 @@ def _poll_task(snapshot, k, backend, w_prev, tol, force_full):
         full = factorize()
         w_all = full[0]
         idx = np.argsort(np.abs(w_all))[-min(k, len(w_all)):]
-        return w_all[idx], full
+        chain["w"] = w_all[idx]
+        return w_all[idx], w_prev, full
     w_scr = eig_banded_values_topk(snapshot, k)
     stable = (
         w_prev is not None
@@ -78,7 +100,8 @@ def _poll_task(snapshot, k, backend, w_prev, tol, force_full):
     full = None
     if stable or force_full:
         full = factorize()
-    return w_scr, full
+    chain["w"] = w_scr
+    return w_scr, w_prev, full
 
 
 @dataclasses.dataclass
@@ -131,7 +154,7 @@ _recurrence_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(recurr
 @partial(
     jax.jit,
     static_argnames=(
-        "cdt", "qr_method", "nsteps", "reorth_pattern", "deflate_pattern",
+        "cdt", "qr_method", "nsteps", "reorth_pattern",
         "loc_passes", "reorth_passes",
     ),
     donate_argnums=(1,),
@@ -149,7 +172,6 @@ def _sweep_chunk(
     qr_method,
     nsteps,
     reorth_pattern,
-    deflate_pattern,
     loc_passes,
     reorth_passes=1,
 ):
@@ -163,35 +185,66 @@ def _sweep_chunk(
     buffer, updated in place) never leaves the device, and the b×b T blocks
     of all nsteps iterations come back in a single stacked transfer.
 
-    reorth_pattern/deflate_pattern: static booleans per step (the iteration
-    cadences i % 2 / i % 3, resolved at trace time).
+    reorth_pattern: static booleans per step (the iteration cadence i % 2,
+    resolved at trace time).
     Returns (basis_buf, Qi, Qprev, Bi, TB) with TB = (2·nsteps, b, b):
-    TB[2s] = A_i, TB[2s+1] = B_{i+1} of step s."""
+    TB[2s] = A_i, TB[2s+1] = B_{i+1} of step s.
+
+    Reorthogonalization applies to the RESIDUAL U at birth, never to
+    already-created blocks.  The reference scrubs Q_j/Q_{j-1} between
+    recording their T contributions and using them (RBL.jl:93-104) — that
+    retroactive modification makes T inconsistent with the stored basis by
+    O(‖scrub delta‖·‖A‖), which is catastrophic exactly when a large scrub
+    is needed (measured: a dominant −5000 eigenvalue atop a 1..399 bulk
+    left T's band wrong by O(200) at the reorth-policy switch while the
+    basis itself was orthonormal to 1e-15).  Scrubbing U before its QR
+    gives B_{j+1} of the *scrubbed* residual and leaves every recorded
+    block untouched: T ≡ QᵀAQ up to rounding, by construction."""
+    from ..ops.contract import gram
+    from ..ops.reorth import deflate, project_out
+
     b = Qi.shape[1]
+    acc = _pet(cdt)
     out = []
     for s in range(nsteps):
-        if deflate_pattern[s] and lock_basis is not None:
-            from ..ops.reorth import deflate
-
-            Qi = deflate(lock_basis, Qi)
-            Qprev = deflate(lock_basis, Qprev)
-        if reorth_pattern[s]:
-            Qi, Qprev = partial_reorth(
-                basis_buf, Qi, Qprev, qr_method=qr_method,
-                passes=reorth_passes,
-            )
-        Qi = local_reorth(Qi, Qprev, passes=loc_passes, qr_method=qr_method)
+        # archive Q_{j-1} first: blocks are final at creation, and having
+        # it in the buffer lets the residual projection below cover it in
+        # the same fused contraction
         basis_buf = jax.lax.dynamic_update_slice(
             basis_buf,
             Qprev.astype(basis_buf.dtype),
             (jnp.int32(0), col0 + jnp.int32(s * b)),
         )
-        Qnext, Bnext, Ai = recurrence_step_fn(
-            op, Qi, Qprev, Bi, cdt=cdt, qr_method=qr_method
-        )
+        Qc = Qi.astype(cdt)
+        Qp = Qprev.astype(cdt)
+        U = op.apply(Qc) - jnp.dot(Qp, Bi.T, preferred_element_type=acc)
+        Ai = gram(Qc, U)
+        U = U - jnp.dot(Qc, Ai, preferred_element_type=acc)
+        if reorth_pattern[s]:
+            # full scrub: project against the whole stored basis (which now
+            # includes Q_{j-1}) and the not-yet-stored Q_j
+            for _ in range(max(reorth_passes, 1)):
+                U = project_out(basis_buf, U)
+                U = project_out(Qc, U)
+        else:
+            # local scrub (reference loc_reorth!'s role): newborn residual
+            # orthogonal to its two parents
+            for _ in range(loc_passes):
+                U = project_out(Qp, U)
+                U = project_out(Qc, U)
+        if lock_basis is not None:
+            # deflate the newborn residual EVERY step: locked directions
+            # re-enter U through A (their |λ| exceeds the active window's,
+            # so leaked content grows every iteration, and a block born
+            # between cadence deflations freezes that content into the
+            # basis).  The reference deflates live blocks every 3rd step
+            # (restarted.jl:53-57) to save GEMMs; against the ≤ k-column
+            # lock set the projection is ~free on the MXU.
+            U = deflate(lock_basis, U)
+        Qnext, Bnext = block_qr(U, method=qr_method)
         out.append(Ai)
         out.append(Bnext)
-        Qprev, Qi, Bi = Qi, Qnext, Bnext
+        Qprev, Qi, Bi = Qi, Qnext.astype(Qi.dtype), Bnext
     TB = jnp.stack(out)
     return basis_buf, Qi, Qprev, Bi, TB
 
@@ -359,17 +412,22 @@ def lanczos_iteration(
     # windows (convergence) or on breakdown — both rare, both handled by
     # zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
-    w_prev = None      # screened top-k Ritz values from the previous poll
+    poll_chain = {}    # previous screen, threaded through the eig worker
     next_poll_cols = 0  # geometric poll backoff (see the poll block)
     fine_poll = False  # near convergence: pin polls to the base cadence
     danger = False     # near-invariant-subspace reorth escalation
+    selective = False  # sticky: dominant Ritz pair converged on a spectrum
+    #                    with compounding dominance — see harvest()
     calm_chunks = 0    # consecutive chunks clear of the danger regime
+    B_hist = {1: AB0[1]}  # B_{j+1} produced at iteration j, host copies
+    #                       (poll prefixes need the coupling block at any
+    #                       panel, not just this chunk's — 25 KB at cap)
     converged = False
     i = 1              # Lanczos iterations completed (host view)
     i_max = max_kryl // b
     i_next = 2         # first iteration of the next chunk to dispatch
     dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
-    pr, dc = cfg.partial_reorth_cadence, cfg.restart_reorth_cadence
+    pr = cfg.partial_reorth_cadence
 
     n_chunks = 0  # chunks dispatched so far (drives geometric chunk growth)
 
@@ -389,6 +447,8 @@ def lanczos_iteration(
         # deflating sweep pin the base size (their reorth/deflate patterns
         # recompile per length, and breakdown monitoring wants fine
         # granularity).
+        # selective mode is sticky, so its chunks are never discarded by a
+        # policy flip — growth and deep pipelining stay on (unlike danger)
         if (
             cfg.chunk_growth_cap > 1
             and not danger
@@ -410,13 +470,10 @@ def lanczos_iteration(
         # basis until ‖B‖ recovers (the reference's fixed cadence-2 single
         # pass loses the basis to ghosts on large-gap spectra: measured
         # ‖QᵀQ−I‖ → 1 within 15 iterations on a rank-40-dominant Gram)
-        if danger:
+        if danger or selective:
             reorth_pattern = (True,) * S
         else:
             reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
-        deflate_pattern = tuple(
-            lock_basis is not None and (i0 + s) % dc == 0 for s in range(S)
-        )
         store._ensure(store.ncols + S * b)
         col0_abs = store.ncols
         if store.host_ncols and reorth_pattern.count(True):
@@ -439,9 +496,8 @@ def lanczos_iteration(
                 jnp.int32(col0_abs - store.dev_base), lock_basis,
                 cdt=cdt, qr_method=qr_method, nsteps=S,
                 reorth_pattern=reorth_pattern,
-                deflate_pattern=deflate_pattern,
                 loc_passes=cfg.loc_reorth_passes,
-                reorth_passes=2 if danger else 1,
+                reorth_passes=2 if (danger or selective) else 1,
             )
         store.buf = buf
         store.ncols = col0_abs + S * b
@@ -454,7 +510,8 @@ def lanczos_iteration(
         except Exception:
             pass
         return dict(i0=i0, S=S, col0=col0_abs, TB=TB,
-                    Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n, danger=danger)
+                    Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n,
+                    danger=danger or selective)
 
     def rewind_to(ncols_new):
         """Discard basis columns beyond ncols_new (speculated, degenerate,
@@ -473,13 +530,56 @@ def lanczos_iteration(
     def harvest(block: bool) -> None:
         """Collect a finished (or, if block, in-flight) eig poll; on
         convergence rewind everything past the poll's basis prefix."""
-        nonlocal pending, w_sel, V_sel, bounds, converged, Qprev, w_prev
-        nonlocal fine_poll, next_poll_cols
+        nonlocal pending, w_sel, V_sel, bounds, converged, Qprev
+        nonlocal fine_poll, next_poll_cols, selective
         if pending is None or (not block and not pending["future"].done()):
             return
         with timer.section("eig_wait"):
-            w_scr, full = pending["future"].result()
-        w_prev = w_scr
+            w_scr, w_old, full = pending["future"].result()
+        if not selective and len(w_scr) > 1:
+            # Immediate tier: at extreme dominance the ghost of the top
+            # pair reaches O(1) within ~10 iterations of its convergence —
+            # waiting for two stable screens is already too late (a -5000
+            # atop a 1..399 bulk corrupts T by iteration 14).  Trigger on
+            # the first screen when the compounding margin is ≥ 3× the
+            # threshold; a false positive merely costs extra reorth.
+            mx0 = abs(w_scr[-1])
+            g0 = mx0 / max(abs(w_scr[0]), np.finfo(np.float64).tiny)
+            rem0 = max(i_max - pending["i_poll"], 0)
+            if g0 > 1.0 and rem0 * np.log(g0) > 3.0 * np.log(0.01 / eps):
+                selective = True
+        if (
+            not selective
+            and w_old is not None
+            and len(w_old) == len(w_scr)
+            and len(w_scr) > 1
+        ):
+            # Selective-orthogonalization trigger (Parlett–Scott flavored,
+            # from Ritz VALUES alone — residual bounds only exist at full
+            # factorizations, which the stability gate can defer for a long
+            # time on exactly these spectra).  Once the dominant Ritz value
+            # has stabilized, its eigenvector is nearly converged and ghost
+            # components of it re-amplify ≈ |θ|max/|θ|min per iteration;
+            # when that growth compounded over the remaining sweep can lift
+            # eps-level rounding noise above ~1% of scale, cadence-2
+            # single-pass reorth loses the basis (measured: a single -5000
+            # eigenvalue atop a 1..399 bulk corrupts T within 80 iterations
+            # while ‖B‖ stays healthy, so danger mode never fires).  Sticky:
+            # converged directions stay in the basis.
+            # the dominant pair's value must be converged to its eps-level
+            # noise floor (ghosts only matter once the EIGENVECTOR is
+            # nearly converged, i.e. Δλ ~ eps·|λ|); gating on cfg.tol
+            # false-triggers on loose-tolerance solves where nothing has
+            # truly converged (measured: the f32 Laplacian headline at
+            # tol=1e-3 flipped selective on and lost 25% time-to-solution)
+            mx = abs(w_scr[-1])
+            if mx > 0 and abs(w_scr[-1] - w_old[-1]) <= 10.0 * eps * mx:
+                gamma = mx / max(abs(w_scr[0]), np.finfo(np.float64).tiny)
+                rem = max(i_max - pending["i_poll"], 0)
+                if gamma > 1.0 and rem * np.log(gamma) > np.log(0.01 / eps):
+                    selective = True
+                    _dbg(f"selective ON (stable-max) at poll panel "
+                         f"{pending['i_poll']}: gamma={gamma:.3g} rem={rem}")
         if full is not None:
             from ..ops.eig import ritz_residual_bounds
 
@@ -551,6 +651,7 @@ def lanczos_iteration(
         danger_at = None  # first mid-chunk step entering the danger regime
         for s in range(S):
             A_s, B_s = TB[2 * s], TB[2 * s + 1]
+            B_hist[i0 + s] = B_s
             T.append_diag(A_s)
             tscale = max(tscale, np.abs(A_s).max())
             if np.abs(B_s).max() < np.sqrt(eps) * tscale:
@@ -637,6 +738,9 @@ def lanczos_iteration(
             float(np.abs(TB[2 * s + 1]).max()) for s in range(done)
         )
         if min_B < 1e-2 * tscale:
+            if not danger:
+                _dbg(f"danger ON at i={i}: min|B|={min_B:.3g} "
+                     f"tscale={tscale:.3g}")
             danger = True
             calm_chunks = 0
         elif min_B > 1e-1 * tscale:
@@ -645,7 +749,7 @@ def lanczos_iteration(
                 danger = False
         else:
             calm_chunks = 0
-        if inflight and inflight[0]["danger"] != danger:
+        if inflight and inflight[0]["danger"] != (danger or selective):
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
             i_next = i + 1
@@ -679,13 +783,15 @@ def lanczos_iteration(
             if j == i:
                 B_snap, Qp = B_last, Qprev
             else:
-                # mid-chunk prefix: B_{j+1} from the chunk's TB; Q_j is read
-                # from the basis store only if this poll converges
-                B_snap, Qp = TB[2 * (j - i0) + 1], None
+                # prefix poll: the coupling block B_{j+1} from the host-side
+                # history (the panel may predate this chunk when a fine_poll
+                # reset pulled the schedule back); Q_j is read from the
+                # basis store only if this poll converges
+                B_snap, Qp = B_hist[j], None
             pending = dict(
                 future=_EIG_EXECUTOR.submit(
-                    _poll_task, snapshot, k, eig_bk, w_prev, cfg.tol,
-                    w_prev is None or (force_poll and j == i),
+                    _poll_task, snapshot, k, eig_bk, poll_chain, cfg.tol,
+                    poll_chain.get("w") is None or (force_poll and j == i),
                 ),
                 i_poll=j,
                 B_snap=B_snap,

@@ -109,7 +109,7 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer)
             buf, Qi, Qprev, Bi, TB = _sweep_chunk(
                 op, store.buf, Qi, Qprev, Bi, jnp.int32(col0), lock_buf,
                 cdt=cdt, qr_method=qr_method, nsteps=S,
-                reorth_pattern=pattern, deflate_pattern=pattern,
+                reorth_pattern=pattern,
                 loc_passes=cfg.loc_reorth_passes,
             )
             store.buf = buf

@@ -1,0 +1,81 @@
+"""Spectrum-shape fuzzing — regression armor beyond the reference's three
+fixtures (Unit Testing/test.jl).
+
+The solver's failure modes live in spectrum structure, not in size: the
+danger regime (large gaps → ‖B‖ collapse → ghost re-amplification) and the
+convergence window (polls overstep it → converged directions corrupt the
+basis — found via slow_decay n=700 with grown chunks).  These cases sample
+the shapes that historically break block Lanczos implementations: clusters,
+huge gaps, mixed signs, near-degenerate pairs, heavy tails — on diagonal
+operators where the true spectrum is exact.
+
+Gate: the k returned eigenvalues match the true top-k by |λ| to 1e-10
+relative (looser than the 1e-13 reference gate: some shapes legitimately
+stop at the Krylov cap, where the Rayleigh-quotient refinement still
+delivers ~1e-12; what MUST never happen is a wrong or ghost eigenvalue).
+"""
+
+import numpy as np
+import pytest
+
+import rbl_tpu as rt
+from rbl_tpu.config import RBLConfig
+
+
+def _check(diag, k=5, b=5, tol_rel=1e-10, **cfg_kw):
+    diag = np.asarray(diag, dtype=np.float64)
+    order = np.argsort(np.abs(diag))[::-1]
+    true_k = diag[order[:k]]
+    cfg = RBLConfig(block_size=b, **cfg_kw)
+    res = rt.rbl(rt.DiagonalOperator(diag), k, b, cfg=cfg)
+    rel = np.abs(res.eigenvalues - true_k) / np.abs(true_k)
+    assert np.all(rel < tol_rel), (
+        f"rel errors {rel}, got {res.eigenvalues}, want {true_k}, "
+        f"converged={res.converged}, kryl={res.kryl_dim}"
+    )
+
+
+SHAPES = {
+    # two tight clusters separated by a huge gap (danger-regime stress)
+    "gap_clusters": lambda rng, n: np.concatenate(
+        [1e6 + rng.uniform(0, 1, 8), rng.uniform(1, 2, n - 8)]
+    ),
+    # geometric decay — fast convergence, early poll window
+    "geometric": lambda rng, n: 0.9 ** np.arange(n) * 1e3 + 1e-3,
+    # mixed signs, |λ| top-k straddles both ends of the spectrum
+    "indefinite": lambda rng, n: np.concatenate(
+        [-(n + 10.0 - np.arange(5.0)), np.arange(1.0, n - 4.0)]
+    ),
+    # near-degenerate top pairs (MRRR subset + convergence-bound stress)
+    "near_degenerate": lambda rng, n: np.concatenate(
+        [[1000.0, 1000.0 + 1e-8, 999.0, 999.0 + 1e-8], np.arange(1.0, n - 3.0)]
+    ),
+    # heavy uniform tail right under the wanted eigenvalues
+    "crowded_top": lambda rng, n: np.concatenate(
+        [n + np.arange(6.0), rng.uniform(0.9 * n, n, n - 6)]
+    ),
+    # random log-uniform — no structure at all
+    "log_uniform": lambda rng, n: np.exp(rng.uniform(0, 12, n)),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_spectrum(shape, seed):
+    rng = np.random.default_rng(seed)
+    diag = SHAPES[shape](rng, 400)
+    _check(diag)
+
+
+def test_fuzz_grown_chunks_narrow_window():
+    """The regression that motivated poll decoupling: a slowly separating
+    spectrum whose convergence window is narrower than a grown chunk."""
+    diag = np.arange(1.0, 701.0)
+    _check(diag, chunk_growth_cap=8, eig_poll_cadence=4)
+
+
+def test_fuzz_negative_dominant():
+    """Largest-|λ| eigenvalue negative — sign handling through sort_eig_abs,
+    the residual bounds, and the Rayleigh refinement."""
+    diag = np.concatenate([[-5000.0], np.arange(1.0, 400.0)])
+    _check(diag)

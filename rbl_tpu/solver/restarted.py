@@ -33,16 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RBLConfig
-from ..ops.band import BlockTridiagonalT
-from ..ops.eig import eig_banded_host, ritz_residual_bounds
 from ..ops.qr import block_qr
 from ..ops.reorth import deflate
 from ..ops.spmm.operator import LinearOperator, as_operator
 from .basis import BasisStore, _write_block
 from .lanczos import (
     LanczosResult,
-    _first_step,
-    _sweep_chunk,
     random_start_block,
     recover_eigvec,
 )
@@ -60,24 +56,24 @@ class RestartState:
     restarts: int = 0
 
 
-def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer):
-    """One fixed-length sweep (reference lanczos_iteration_res,
-    restarted.jl:23-95), chunk-fused like the main driver: iterations run
-    in jitted windows (_sweep_chunk, deflation + partial reorth on the
-    i % 3 cadence resolved to static per-step patterns) and each window's
-    T blocks come back in one stacked transfer — the restarted variant has
-    no convergence polls at all, so the whole sweep costs only
-    ceil(sweep/window) RPC round-trips.  Returns (w desc-|λ|, V desc,
-    bounds desc)."""
-    from ..utils.profiling import null_timer
+def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf,
+                     timer, k_rem: int):
+    """One restart sweep — the MAIN driver run against the lock set.
 
-    timer = timer or null_timer()
-    b = Qi.shape[1]
+    The reference implements the restarted sweep as a separate fixed-length
+    loop with no convergence polls and no safety machinery
+    (lanczos_iteration_res, restarted.jl:23-95 — ~80% duplicated logic,
+    SURVEY §7 design stance).  Here it IS ``lanczos_iteration`` with
+    ``lock_basis`` set, so the sweep inherits convergence polling (it may
+    finish early), breakdown re-randomization, danger/selective reorth
+    escalation, and birth-scrub T consistency — without them, every
+    large-gap or dominant-value spectrum corrupted the sweep basis
+    (measured: duplicate directions with 13× column norms by restart 2).
+    Returns (w desc-|λ|, V desc, bounds desc); V has store.ncols rows."""
+    from .lanczos import lanczos_iteration
+
     cdt = jnp.dtype(cfg.compute_dtype)
     qr_method = cfg.resolved_qr_method()
-    kryl = min(cfg.restart_kryl_dim, ((op.n + b - 1) // b) * b)
-    T = BlockTridiagonalT(b, max_cols=kryl + b)
-
     # deflate + re-orthonormalize the start block (the reference deflates
     # without renormalizing, restarted.jl:40; we renormalize for a properly
     # scaled T)
@@ -85,60 +81,16 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf, timer)
     Qi, _ = block_qr(Qi.astype(cdt), method=qr_method)
     Qi = Qi.astype(cfg.basis_dtype)
 
-    with timer.section("recurrence"):
-        Qnext, Bnext, Ai = _first_step(op, Qi, cdt=cdt, qr_method=qr_method)
-    AB0 = np.asarray(jnp.stack([Ai, Bnext.astype(Ai.dtype)]))
-    T.append_diag(AB0[0])
-    T.set_subdiag(AB0[1], 0)
-    Qprev, Qi, Bi = Qi, Qnext, Bnext
-    Bi_host = AB0[1]
-
-    i = 1
-    # last iteration of the sweep: max i with i·b < kryl (the replaced
-    # loop's 'while (i+1)*b < kryl' pre-increment condition)
-    i_last = (kryl - 1) // b
-    dc = cfg.restart_reorth_cadence
-    window = max(cfg.eig_poll_cadence, 1)
-    while i < i_last:
-        S = min(window, i_last - i)
-        i0 = i + 1
-        pattern = tuple((i0 + s) % dc == 0 for s in range(S))
-        store._ensure(store.ncols + S * b)
-        col0 = store.ncols - store.dev_base
-        with timer.section("sweep_dispatch"):
-            buf, Qi, Qprev, Bi, TB = _sweep_chunk(
-                op, store.buf, Qi, Qprev, Bi, jnp.int32(col0), lock_buf,
-                cdt=cdt, qr_method=qr_method, nsteps=S,
-                reorth_pattern=pattern,
-                loc_passes=cfg.loc_reorth_passes,
-            )
-            store.buf = buf
-            store.ncols += S * b
-        with timer.section("transfer"):
-            TB = np.asarray(TB)
-        for s in range(S):
-            T.append_diag(TB[2 * s])
-            if (i0 + s) < i_last:  # reference skips the last sub-diagonal
-                T.set_subdiag(TB[2 * s + 1], i0 + s - 1)
-        i += S
-        Bi_host = TB[2 * (S - 1) + 1]
-
-    # final cleanup reorth of the newest block before the single eigensolve
-    # (reference restarted.jl:89-91 cleans the last two stored blocks)
-    with timer.section("deflate"):
-        Qprev = deflate(lock_buf, Qprev)
-    with timer.section("partial_reorth"):
-        from ..ops.reorth import project_out
-
-        Qprev = project_out(store.view(), Qprev)
-    store.append(Qprev)
-
-    with timer.section("eig"):
-        w, V = eig_banded_host(T.view(store.ncols))
-    bounds = ritz_residual_bounds(Bi_host, V, b)
+    sweep_cfg = cfg.replace(max_kryl_dim=cfg.restart_kryl_dim)
+    w, V, T, bounds, converged, nb = lanczos_iteration(
+        op, k_rem, sweep_cfg, Qi, store, lock_basis=lock_buf, timer=timer
+    )
     # descending by |λ| (the reference orders by algebraic value,
     # restarted.jl:93-94; |λ| keeps parity with the main solver's
     # largest-magnitude contract)
+    w = np.asarray(w)
+    V = np.asarray(V)
+    bounds = np.asarray(bounds)
     order = np.argsort(-np.abs(w))
     return w[order], V[:, order], bounds[order]
 
@@ -191,7 +143,8 @@ def rbl_restarted(
             init_cols=cfg.min_basis_cols, sharding=sharding,
         )
         w, V, bounds = _restarted_sweep(
-            op, sweep_cfg, state.Qi, store, state.lock_buf, timer
+            op, sweep_cfg, state.Qi, store, state.lock_buf, timer,
+            k_rem=max(k - state.count, 1),
         )
         ncomp = 0
         next_start = None
@@ -207,13 +160,27 @@ def rbl_restarted(
                 state.locked_values[state.count + ncomp] = w[j]
                 ncomp += 1
             else:
-                next_start = recover_eigvec(store, V[:, j : j + 1])
+                # restart block: the first b unconverged Ritz vectors (the
+                # reference takes one, b=1 — restarted.jl:131-133); fewer
+                # than b available → pad with fresh randomness, which the
+                # sweep entry deflates and re-orthonormalizes
+                width = min(b, V.shape[1] - j)
+                next_start = recover_eigvec(store, V[:, j : j + width])
                 break
         state.count += ncomp
         state.kryl_dim += cfg.restart_growth
         state.restarts += 1
         if next_start is not None:
-            state.Qi = next_start.astype(cfg.basis_dtype)
+            blk = jnp.asarray(next_start)
+            if blk.shape[1] < b:
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), state.restarts
+                )
+                pad = jax.random.normal(
+                    key, (n, b - blk.shape[1]), dtype=blk.dtype
+                )
+                blk = jnp.concatenate([blk, pad], axis=1)
+            state.Qi = blk.astype(cfg.basis_dtype)
         if checkpoint_path is not None:
             from ..utils.checkpoint import save_restart_state
 

@@ -79,3 +79,36 @@ def test_fuzz_negative_dominant():
     the residual bounds, and the Rayleigh refinement."""
     diag = np.concatenate([[-5000.0], np.arange(1.0, 400.0)])
     _check(diag)
+
+
+RESTARTED_SHAPES = {
+    # 8-dim dominant cluster over a tiny sea: breakdown + heavy deflation
+    "gap_clusters": np.concatenate(
+        [1e6 + np.random.default_rng(0).uniform(0, 1, 8),
+         np.random.default_rng(1).uniform(1, 2, 392)]
+    ),
+    # dominant-value ghost regime (selective mode inside the sweep)
+    "negative_dominant": np.concatenate([[-5000.0], np.arange(1.0, 400.0)]),
+    # locked near-degenerate pairs leak hardest
+    "near_degenerate": np.concatenate(
+        [[1000.0, 1000.0 + 1e-8, 999.0, 999.0 + 1e-8], np.arange(1.0, 397.0)]
+    ),
+    # slow separation: many restarts, growing sweeps
+    "slow_uniform": np.arange(1.0, 401.0),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(RESTARTED_SHAPES))
+def test_fuzz_restarted(shape):
+    """The restarted sweep is the main driver run against the lock set —
+    these spectra all corrupted the previous standalone fixed-length sweep
+    (duplicate basis directions, Ritz values past ‖A‖)."""
+    from rbl_tpu.solver.restarted import rbl_restarted
+
+    diag = np.asarray(RESTARTED_SHAPES[shape], dtype=np.float64)
+    order = np.argsort(np.abs(diag))[::-1]
+    true_k = diag[order[:4]]
+    res = rbl_restarted(rt.DiagonalOperator(diag), 4)
+    rel = np.abs(res.eigenvalues - true_k) / np.abs(true_k)
+    assert res.converged
+    assert np.all(rel < 1e-10), (res.eigenvalues, true_k, rel)

@@ -48,10 +48,9 @@ def main():
 
     import jax.numpy as jnp
 
-    from rbl_tpu.ops.reorth import local_reorth, partial_reorth
     from rbl_tpu.parallel.dist_spmm import ShardedLaplacian2D
     from rbl_tpu.parallel.mesh import make_row_mesh, row_sharding
-    from rbl_tpu.solver.lanczos import recurrence_step_fn
+    from rbl_tpu.solver.lanczos import _sweep_chunk
 
     ndev_avail = len(jax.devices())
     b = args.b
@@ -71,11 +70,12 @@ def main():
 
         @jax.jit
         def step(basis, Qi, Qprev, Bi):
-            Qi, Qprev = partial_reorth(basis, Qi, Qprev, qr_method="cholqr2")
-            Qi = local_reorth(Qi, Qprev, passes=2, qr_method="cholqr2")
-            return recurrence_step_fn(
-                op, Qi, Qprev, Bi, cdt=jnp.dtype(jnp.float32),
-                qr_method="cholqr2",
+            # the solver's actual fused hot path: one 2-iteration sweep
+            # chunk (birth-scrub reorth + halo-exchange SpMM + CholeskyQR2)
+            return _sweep_chunk(
+                op, basis, Qi, Qprev, Bi, jnp.int32(0), None,
+                cdt=jnp.dtype(jnp.float32), qr_method="cholqr2", nsteps=2,
+                reorth_pattern=(True, False), loc_passes=2,
             )
 
         basis = jax.device_put(

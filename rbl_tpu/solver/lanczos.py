@@ -27,13 +27,11 @@ import jax.numpy as jnp
 from ..config import RBLConfig
 from ..ops.band import BlockTridiagonalT
 from ..ops.eig import (
-    check_convergence,
     eig_banded_host,
     eig_banded_values_topk,
     sort_eig_abs,
 )
 from ..ops.qr import block_qr
-from ..ops.reorth import local_reorth, partial_reorth
 from ..ops.spmm.operator import LinearOperator, _pet
 from .basis import BasisStore
 
@@ -148,7 +146,6 @@ def recurrence_step_fn(op: LinearOperator, Qi_b, Qprev_b, Bi, cdt, qr_method):
 
 
 _first_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(first_step_fn)
-_recurrence_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(recurrence_step_fn)
 
 
 @partial(

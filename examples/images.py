@@ -44,9 +44,12 @@ def main():
     p.add_argument("--image", default=None)
     p.add_argument("--rank", type=int, default=50)
     p.add_argument("--out", default=None, help="save reconstruction .npy")
-    p.add_argument("--f64", action="store_true",
-                   help="full f64 (slow on TPU: the MXU has no f64, and "
-                        "every emulated kernel pays remote-compile latency)")
+    p.add_argument("--f32", action="store_true",
+                   help="f32 compute (fast on the MXU, but this Gram "
+                        "matrix squares the dominance: σ₁²/σ_sea² ≈ 1e5 "
+                        "exceeds what f32's eps can resolve — expect "
+                        "degraded σ beyond the structural rank; the "
+                        "reference runs this demo in Float64 too)")
     args = p.parse_args()
 
     B = load_or_make_image(args.image)
@@ -57,14 +60,15 @@ def main():
 
     import rbl_tpu as rt
 
-    # 1. RBL on the Gram matrix  (images.jl:21-25); f32 by default — σ
-    # accuracy ~1e-4·σ1 is far below the rank-truncation error
-    dt_ = jnp.float64 if args.f64 else jnp.float32
-    cfg = rt.RBLConfig(block_size=1, basis_dtype=dt_, compute_dtype=dt_,
-                       tol=1e-5 if not args.f64 else 1e-7)
+    # 1. RBL on the Gram matrix (images.jl:21-25); f64 by default, like
+    # the reference: the Gram squares the spectral dominance, which puts
+    # the sea of small σ² beneath f32's resolvable range
+    dt_ = jnp.float32 if args.f32 else jnp.float64
+    cfg = rt.RBLConfig(block_size=8, basis_dtype=dt_, compute_dtype=dt_,
+                       tol=1e-5 if args.f32 else 1e-7)
     t0 = time.perf_counter()
     G = rt.DenseOperator(jnp.asarray((B.T @ B), dtype=dt_))
-    res = rt.rbl(G, k, 1, cfg=cfg)
+    res = rt.rbl(G, k, cfg=cfg)
     D = res.eigenvalues                      # σ²
     V = np.asarray(res.eigenvectors)         # right singular vectors
     sigma = np.sqrt(np.maximum(D, 0.0))

@@ -35,22 +35,50 @@ def _chol_qr_once(X, acc_dtype):
     # Fall back to a shifted Cholesky only on breakdown (nearly
     # rank-deficient X): the shift keeps G positive definite under rounding
     # at the cost of O(shift/σ_min²) orthogonality, which the next pass or
-    # the enclosing CGS sweep repairs.
-    shift = 11.0 * (n * b + b * (b + 1)) * eps * jnp.trace(G) / b
+    # the enclosing CGS sweep repairs.  The absolute floor covers X ≈ 0
+    # (a fully deflated residual block): a trace-proportional shift alone
+    # vanishes with G and the Cholesky of ~0 yields NaN.
+    shift = (
+        11.0 * (n * b + b * (b + 1)) * eps * jnp.trace(G) / b
+        + jnp.finfo(acc_dtype).tiny * 1e4
+    )
     L_shifted = jnp.linalg.cholesky(G + shift * jnp.eye(b, dtype=G.dtype))
     bad = jnp.any(jnp.isnan(L))
     R = jnp.where(bad, L_shifted, L).T  # upper triangular
+    # Clamp vanishing diagonal entries before the solve: a ~0 pivot turns a
+    # degenerate column into an unbounded one, whose norm then SQUARES in
+    # downstream Grams (f32 overflows to inf within two iterations —
+    # measured on an image Gram with σ₁²/σ₂² ≈ 700).  With the clamp a
+    # degenerate column comes out ≈ 0; the solver's host-side collapse
+    # detection then handles the breakdown properly.
+    floor = jnp.sqrt(shift).astype(R.dtype)
+    d = jnp.abs(jnp.diagonal(R))
+    R_solve = R + jnp.diag(
+        jnp.where(d < floor, floor, jnp.zeros_like(d)).astype(R.dtype)
+    )
     Q = jax.lax.linalg.triangular_solve(
-        R.astype(X.dtype), X, left_side=False, lower=False
+        R_solve.astype(X.dtype), X, left_side=False, lower=False
     )
     return Q, R
 
 
 def cholqr(X, passes: int = 2):
     """CholeskyQR with `passes` refinement sweeps. Returns (Q, R) with
-    X = Q @ R, R upper-triangular (product of per-pass factors)."""
+    X = Q @ R, R upper-triangular (product of per-pass factors).
+
+    The first pass runs on column-equilibrated X: with mixed column scales
+    (e.g. a converged-direction ghost at ‖A‖ scale next to sea-level
+    residual columns) the Gram's small diagonal entries drown in the
+    rounding of the large ones (eps·max² ≫ min²) and the factor comes out
+    garbage — measured in f32 at a 10⁵ column-scale ratio: Q far from
+    orthonormal, ‖B‖ running away geometrically.  Scaling columns to unit
+    norm bounds the Gram's dynamic range by inter-column angles only; the
+    scales are absorbed into R (X = X̂·D, X̂ = Q·R̂ ⇒ R = R̂·D)."""
     acc = _pet(X.dtype)
-    Q, R = _chol_qr_once(X, acc)
+    d = jnp.sqrt(jnp.sum(X.astype(acc) * X.astype(acc), axis=0))
+    d_safe = jnp.where(d > 0, d, jnp.ones_like(d))
+    Q, R = _chol_qr_once(X / d_safe.astype(X.dtype)[None, :], acc)
+    R = R * d_safe.astype(R.dtype)[None, :]
     for _ in range(passes - 1):
         Q, R2 = _chol_qr_once(Q, acc)
         R = jnp.dot(R2, R, preferred_element_type=acc)

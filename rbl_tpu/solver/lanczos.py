@@ -257,7 +257,7 @@ def _zero_cols_range(buf, lo, hi):
 
 
 @partial(jax.jit, static_argnames=("qr_method",))
-def _rerandomize_block(basis_buf, Qi, Qprev, key, qr_method):
+def _rerandomize_block(basis_buf, Qprev, key, qr_method):
     """Breakdown recovery: replace a numerically rank-deficient residual
     block with fresh random directions orthogonalized against the whole
     basis.  The reference has no breakdown handling (SURVEY §5) — after an
@@ -265,13 +265,20 @@ def _rerandomize_block(basis_buf, Qi, Qprev, key, qr_method):
     converged directions ("ghost" Ritz values), which can stall the
     all-or-nothing convergence test.  Re-randomizing keeps the basis
     orthonormal and the sweep productive; the (tiny) true B_i retained in T
-    keeps the Rayleigh–Ritz projection consistent."""
+    keeps the Rayleigh–Ritz projection consistent.
+
+    Projects ONLY against the kept state — basis + Q_i (= Qprev here).
+    Projecting against the dead chunk-end block as well reinjects whatever
+    polluted it: at breakdown that block IS renormalized rounding noise
+    with an O(1) converged-direction component, and one such block in the
+    basis makes the CGS projector non-contractive (duplicate directions →
+    overshoot → geometric ‖B‖ runaway; measured on an f32 image Gram)."""
     from ..ops.reorth import project_out
 
-    W = jax.random.normal(key, Qi.shape, dtype=Qi.dtype)
+    W = jax.random.normal(key, Qprev.shape, dtype=Qprev.dtype)
     for _ in range(2):
         W = project_out(basis_buf, W)
-        W = project_out(jnp.concatenate([Qprev, Qi], axis=1), W)
+        W = project_out(Qprev, W)
         W, _ = block_qr(W, method=qr_method)
     return W
 
@@ -282,14 +289,22 @@ def _rayleigh_refine(op: LinearOperator, X, theta0, cdt):
     θ = θ₀ + xᵀ(Ax − θ₀x)/xᵀx.  The correction contracts residual-scale
     quantities, so the refined value carries O(eps·|θ|) rounding instead of
     the O(n·eps·‖A‖) accumulated through T's assembly — recovering the
-    reference's strict 1e-13 eigenvalue gate at n = 10⁵⁻⁶."""
+    reference's strict 1e-13 eigenvalue gate at n = 10⁵⁻⁶.
+
+    Also returns the TRUE relative residual norms ‖A·x − θx‖/‖x‖ of the
+    refined pairs — A·X is already in hand, so this is free, and unlike
+    the Lanczos bound ‖B·y‖ it stays honest when the basis degraded (e.g.
+    precision exhaustion on extreme-dominance spectra)."""
     from ..ops.contract import gram
 
     Xc = X.astype(cdt)
     Y = op.apply(Xc) - Xc * theta0[None, :]
     num = jnp.diagonal(gram(Xc, Y))
     den = jnp.diagonal(gram(Xc, Xc))
-    return theta0 + num / den
+    theta = theta0 + num / den
+    R = Y - Xc * (theta - theta0)[None, :]
+    res = jnp.sqrt(jnp.sum(R * R, axis=0) / den)
+    return theta, res
 
 
 @jax.jit
@@ -646,17 +661,62 @@ def lanczos_iteration(
         # basis, and produced (A_j, B_{j+1}).
         collapse_at = None
         danger_at = None  # first mid-chunk step entering the danger regime
+        chunk_scale = 0.0  # max |A_s| over this chunk: the ACTIVE Rayleigh
+        # scale.  Breakdown/danger thresholds compare ‖B‖ against THIS, not
+        # against the historical tscale: once a dominant direction is
+        # captured, tscale stays at |λ|max while the live sweep works at the
+        # bulk scale — a √eps·tscale collapse test then flags every healthy
+        # bulk step as breakdown (measured on an image Gram with
+        # σ₁²/σ₂² ≈ 700 in f32: the whole sweep burned on spurious
+        # re-randomizations, σ₂ off by 20%).
+        explosion_at = None  # first step whose ‖B‖ exceeds the ‖A‖ bound
         for s in range(S):
             A_s, B_s = TB[2 * s], TB[2 * s + 1]
+            if np.abs(B_s).max() > 10.0 * max(tscale, np.abs(A_s).max()):
+                # ‖B_{j+1}‖ ≤ ‖A‖ for any orthonormal basis — a larger
+                # value means the dtype's precision floor (eps·|λ|max
+                # re-injected per application of A) has crossed the active
+                # spectral scale: no further directions are resolvable in
+                # this precision, and continuing runs away geometrically
+                # to inf within a few steps (measured: f32 on an image
+                # Gram with σ₁²/σ_sea² ≈ 10⁵).  Discard this step too —
+                # its A block is already suspect.
+                explosion_at = s
+                break
             B_hist[i0 + s] = B_s
             T.append_diag(A_s)
-            tscale = max(tscale, np.abs(A_s).max())
-            if np.abs(B_s).max() < np.sqrt(eps) * tscale:
+            a_s = np.abs(A_s).max()
+            tscale = max(tscale, a_s)
+            chunk_scale = max(chunk_scale, a_s)
+            if np.abs(B_s).max() < np.sqrt(eps) * max(a_s, tscale * eps):
                 collapse_at = s  # B_{j+1} ≈ 0: steps after s are noise
                 break
             if (
+                not selective
+                and not cur["danger"]
+                and s < S - 1
+                and tscale > 10.0 * a_s
+            ):
+                # Per-STEP dominance transition: the active Rayleigh scale
+                # just dropped an order of magnitude below the captured top
+                # — the dominant direction converged THIS chunk, and at
+                # extreme ratios (γ = tscale/a_s) its ghost re-amplifies
+                # ×γ per iteration: by the time a chunk-level or poll-level
+                # trigger reacts, 2 calm steps at γ ≈ 700 in f32 have
+                # already seeded eps·γ² ≈ 6% ghost copies into T.  Truncate
+                # at the transition and resume in selective mode.
+                gp = tscale / max(a_s, np.finfo(np.float64).tiny)
+                if (i_max - (i0 + s)) * np.log(gp) > 3.0 * np.log(0.01 / eps):
+                    danger_at = s
+                    selective = True
+                    _dbg(
+                        f"selective ON (step-scale) at i={i0 + s}: "
+                        f"gamma≈{gp:.3g}"
+                    )
+                    break
+            if (
                 not cur["danger"]
-                and np.abs(B_s).max() < 1e-2 * tscale
+                and np.abs(B_s).max() < 1e-2 * a_s
                 and s < S - 1
             ):
                 # ‖B‖ entered the ghost re-amplification regime mid-chunk,
@@ -671,9 +731,41 @@ def lanczos_iteration(
         done = S if collapse_at is None and danger_at is None else (
             (collapse_at if collapse_at is not None else danger_at) + 1
         )
+        if explosion_at is not None:
+            done = explosion_at  # step s itself is discarded
         i = i0 + done - 1
-        B_last = TB[2 * (done - 1) + 1]
+        B_last = (
+            TB[2 * (done - 1) + 1] if done >= 1 else np.asarray(B_hist[i])
+        )
         Qprev = cur["Qprev"]
+
+        if explosion_at is not None:
+            # Precision exhaustion (see the scan): restore the invariant at
+            # the last valid iteration and either finish with the basis in
+            # hand (enough columns for a Rayleigh–Ritz answer — the values
+            # are as good as this dtype allows) or re-randomize and keep
+            # sweeping if the basis is still smaller than k.
+            q_col = col0_abs + explosion_at * b  # Q_i, written at step s
+            Qp = store.read_block(q_col, b)
+            rewind_to((i - 1) * b)
+            Qprev = Qp
+            inflight.clear()
+            if i * b >= k:
+                _dbg(
+                    f"precision exhaustion at i={i}: terminating sweep "
+                    f"(‖B‖ exceeded 10·tscale={tscale:.3g})"
+                )
+                i_next = i_max + 1  # terminal: no further dispatches
+            else:
+                key, sub = jax.random.split(key)
+                with timer.section("rerandomize"):
+                    Qi_new = _rerandomize_block(
+                        store.view(), Qprev, sub, qr_method=qr_method
+                    )
+                # the honest coupling to the re-randomized block is zero —
+                # a deflation-style split, like the collapse path
+                dev = (Qi_new, Qprev, jnp.zeros_like(cur["Bi"]))
+                i_next = i + 1
 
         if collapse_at is not None:
             # Breakdown: an (almost) invariant subspace was hit — the
@@ -692,7 +784,7 @@ def lanczos_iteration(
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):
                 Qi_new = _rerandomize_block(
-                    store.view(), cur["Qi"], Qprev, sub, qr_method=qr_method
+                    store.view(), Qprev, sub, qr_method=qr_method
                 )
             dev = (Qi_new, Qprev, jnp.asarray(B_last))
             i_next = i + 1
@@ -732,20 +824,37 @@ def lanczos_iteration(
         # 11-chunk solve).  A speculated chunk dispatched under a stale
         # policy is discarded and re-run.
         min_B = min(
-            float(np.abs(TB[2 * s + 1]).max()) for s in range(done)
+            (float(np.abs(TB[2 * s + 1]).max()) for s in range(done)),
+            default=None,
         )
-        if min_B < 1e-2 * tscale:
+        if min_B is None:
+            pass  # empty chunk (explosion at step 0): keep current mode
+        elif min_B < 1e-2 * chunk_scale:
             if not danger:
                 _dbg(f"danger ON at i={i}: min|B|={min_B:.3g} "
-                     f"tscale={tscale:.3g}")
+                     f"active scale={chunk_scale:.3g}")
             danger = True
             calm_chunks = 0
-        elif min_B > 1e-1 * tscale:
+        elif min_B > 1e-1 * chunk_scale:
             calm_chunks += 1
             if calm_chunks >= 3:
                 danger = False
         else:
             calm_chunks = 0
+        if not selective and chunk_scale > 0 and tscale > chunk_scale:
+            # Chunk-stats selective trigger (no poll needed — with b small
+            # and k large the first poll at i·b > k can come long after
+            # extreme-dominance ghosts have corrupted the basis): once the
+            # sweep's ACTIVE Rayleigh scale has dropped below the historical
+            # tscale, converged dominant directions exist and their ghosts
+            # re-amplify by ≈ tscale/active per iteration.  3× margin like
+            # the immediate poll tier.
+            gp = tscale / chunk_scale
+            rem_i = max(i_max - i, 0)
+            if rem_i * np.log(gp) > 3.0 * np.log(0.01 / eps):
+                selective = True
+                _dbg(f"selective ON (chunk-stats) at i={i}: "
+                     f"gamma≈{gp:.3g} rem={rem_i}")
         if inflight and inflight[0]["danger"] != (danger or selective):
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
@@ -768,7 +877,9 @@ def lanczos_iteration(
         # must not: convergence lives in a window — past it, converged Ritz
         # directions re-amplify through rounding and corrupt the basis — and
         # a chunk-sized poll stride can step clean over that window.)
-        force_poll = i >= i_max or collapse_at is not None
+        force_poll = (
+            i >= i_max or collapse_at is not None or explosion_at is not None
+        )
         polled = False
 
         def submit_poll(j):
@@ -826,7 +937,7 @@ def lanczos_iteration(
             harvest(block=False)
             if converged:
                 break
-        if collapse_at is None:
+        if collapse_at is None and explosion_at is None:
             T.set_subdiag(B_last, i - 1)
         top_up()
 

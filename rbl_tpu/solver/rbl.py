@@ -90,11 +90,16 @@ def rbl(
         V = recover_eigvec(store, Vk)
         # Shifted Rayleigh-quotient refinement: the refined θ carries
         # O(eps·|θ|) rounding instead of the O(n·eps·‖A‖) accumulated in T.
+        # The TRUE residual norms it computes along the way replace the
+        # Lanczos bounds in the result — they stay honest even when the
+        # basis degraded (the bounds assume exact orthonormality).
         from .lanczos import _rayleigh_refine
 
-        D = np.asarray(
-            _rayleigh_refine(op, V, jnp.asarray(D), cdt=jnp.dtype(cfg.compute_dtype))
+        D_j, res_j = _rayleigh_refine(
+            op, V, jnp.asarray(D), cdt=jnp.dtype(cfg.compute_dtype)
         )
+        D = np.asarray(D_j)
+        bounds_desc = np.asarray(res_j)
 
     return LanczosResult(
         eigenvalues=D,

@@ -98,6 +98,32 @@ RESTARTED_SHAPES = {
 }
 
 
+def test_f32_precision_exhaustion_graceful():
+    """f32 with dominance beyond eps's resolvable range (σ₁/σ_sea ≈ 1e5):
+    the solver must degrade gracefully — finite values, honest TRUE
+    residuals in the result, the dominant pairs still accurate — instead
+    of running ‖B‖ off to NaN (the pre-detector behavior)."""
+    import jax.numpy as jnp
+    from rbl_tpu.config import RBLConfig
+
+    rng = np.random.default_rng(3)
+    diag = np.concatenate(
+        [[8.0e4, 4.0e4], 100.0 - np.arange(40.0), rng.uniform(0.1, 0.4, 600)]
+    )
+    cfg = RBLConfig(
+        block_size=8, basis_dtype=jnp.float32, compute_dtype=jnp.float32,
+        tol=1e-5, max_kryl_dim=512,
+    )
+    res = rt.rbl(rt.DiagonalOperator(diag.astype(np.float32)), 20, cfg=cfg)
+    assert np.all(np.isfinite(res.eigenvalues))
+    assert res.residual_bounds is not None
+    assert np.all(np.isfinite(res.residual_bounds))
+    # the resolvable (dominant + structural) pairs must still be right
+    true_top = np.sort(diag)[::-1][:20]
+    rel = np.abs(res.eigenvalues - true_top) / true_top
+    assert np.all(rel[:10] < 1e-3), (res.eigenvalues[:10], true_top[:10])
+
+
 @pytest.mark.parametrize("shape", sorted(RESTARTED_SHAPES))
 def test_fuzz_restarted(shape):
     """The restarted sweep is the main driver run against the lock set —

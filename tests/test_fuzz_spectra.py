@@ -98,6 +98,33 @@ RESTARTED_SHAPES = {
 }
 
 
+@pytest.mark.parametrize("case", ["random_sym", "banded_posdef", "power_law"])
+def test_fuzz_sparse_operators_vs_eigsh(case):
+    """End-to-end solves on real sparse operators (SpMM format
+    auto-selection + solver together), cross-checked against ARPACK —
+    the diagonal fuzz cases control the spectrum but never exercise the
+    sparse kernels."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    A = {
+        "random_sym": sp.random(400, 400, density=0.05, random_state=3),
+        "banded_posdef": sp.diags(
+            [np.full(600, 4.0), np.full(599, -1.0), np.full(599, -1.0)],
+            [0, 1, -1],
+        ),
+        "power_law": sp.random(500, 500, density=0.02, random_state=5),
+    }[case]
+    A = sp.csr_matrix(A + A.T)
+    w_ref = spla.eigsh(A, k=5, which="LM", tol=1e-10,
+                       return_eigenvectors=False)
+    w_ref = w_ref[np.argsort(-np.abs(w_ref))]
+    res = rt.rbl(A, 5, 5)
+    rel = np.abs(res.eigenvalues - w_ref) / np.abs(w_ref)
+    assert res.converged
+    assert np.all(rel < 1e-10), (res.eigenvalues, w_ref)
+
+
 def test_f32_precision_exhaustion_graceful():
     """f32 with dominance beyond eps's resolvable range (σ₁/σ_sea ≈ 1e5):
     the solver must degrade gracefully — finite values, honest TRUE

@@ -100,6 +100,15 @@ class RBLConfig:
         sweep, so the host pays only the RPC latency, not the chunk compute.
         Speculated chunks wasted at convergence/breakdown are rewound
         (device-side only).  1 reproduces the single-speculation pipeline.
+    matmul_precision:
+        XLA matmul input precision for the whole solve ("default" | "high"
+        | "highest").  On TPU, f32 matmuls run the MXU at bfloat16 input
+        precision by DEFAULT (eps ≈ 8e-3): the reorthogonalization
+        projector then leaves percent-level ghost residue and the ‖B‖
+        recurrence runs away on long sweeps (measured: the f32 headline
+        tripped the precision-exhaustion detector at kryl = 568/768).
+        "highest" emulates true f32 via bf16 passes — the numerics the
+        reference gets from CUBLAS f32 GEMMs.  No effect on CPU or f64.
     """
 
     block_size: int = 4
@@ -120,6 +129,7 @@ class RBLConfig:
     basis_device_cap_cols: Optional[int] = None
     chunk_growth_cap: int = 4
     pipeline_depth: int = 2
+    matmul_precision: str = "highest"
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)
@@ -144,6 +154,10 @@ class RBLConfig:
             raise ValueError(f"unknown qr_method: {self.qr_method!r}")
         if self.eig_backend not in ("banded_host", "native", "device"):
             raise ValueError(f"unknown eig_backend: {self.eig_backend!r}")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"unknown matmul_precision: {self.matmul_precision!r}"
+            )
 
     def resolved_qr_method(self) -> str:
         if self.qr_method != "auto":

@@ -29,17 +29,24 @@ def _chol_qr_once(X, acc_dtype):
     from .contract import gram
 
     n, b = X.shape
+    from .contract import _CHUNK
+
     G = gram(X, X, acc_dtype=acc_dtype)
     eps = jnp.finfo(acc_dtype).eps
     L = jnp.linalg.cholesky(G)
     # Fall back to a shifted Cholesky only on breakdown (nearly
     # rank-deficient X): the shift keeps G positive definite under rounding
     # at the cost of O(shift/σ_min²) orthogonality, which the next pass or
-    # the enclosing CGS sweep repairs.  The absolute floor covers X ≈ 0
-    # (a fully deflated residual block): a trace-proportional shift alone
-    # vanishes with G and the Cholesky of ~0 yields NaN.
+    # the enclosing CGS sweep repairs.  The error-size factor reflects
+    # gram's chunked PAIRWISE accumulation (error ~ eps·chunk, not eps·n —
+    # the literature's 11·(nb+…)·u·tr(G) shift assumes a flat sum and at
+    # f32, n = 2M it EXCEEDS ‖G‖, which poisoned every factorization).
+    # The absolute tiny-floor covers X ≈ 0 (a fully deflated residual
+    # block), where a trace-proportional shift vanishes and the Cholesky
+    # of ~0 yields NaN.
+    err_rows = min(n, _CHUNK) * b + b * (b + 1)
     shift = (
-        11.0 * (n * b + b * (b + 1)) * eps * jnp.trace(G) / b
+        11.0 * err_rows * eps * jnp.trace(G) / b
         + jnp.finfo(acc_dtype).tiny * 1e4
     )
     L_shifted = jnp.linalg.cholesky(G + shift * jnp.eye(b, dtype=G.dtype))
@@ -50,8 +57,12 @@ def _chol_qr_once(X, acc_dtype):
     # downstream Grams (f32 overflows to inf within two iterations —
     # measured on an image Gram with σ₁²/σ₂² ≈ 700).  With the clamp a
     # degenerate column comes out ≈ 0; the solver's host-side collapse
-    # detection then handles the breakdown properly.
-    floor = jnp.sqrt(shift).astype(R.dtype)
+    # detection then handles the breakdown properly.  The floor must sit
+    # BETWEEN healthy pivots and rounding garbage: √eps on the average
+    # column scale — a floor derived from the (much larger) PD shift
+    # clamped every healthy pivot at f32 large n, silently destroying
+    # orthonormality of every block.
+    floor = (jnp.sqrt(eps * jnp.trace(G) / b) + jnp.finfo(acc_dtype).tiny)
     d = jnp.abs(jnp.diagonal(R))
     R_solve = R + jnp.diag(
         jnp.where(d < floor, floor, jnp.zeros_like(d)).astype(R.dtype)

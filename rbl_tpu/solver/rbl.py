@@ -60,6 +60,17 @@ def rbl(
     if not (0 < k <= n):
         raise ValueError(f"k={k} out of range for n={n}")
 
+    # TPU f32 matmuls default to bf16 input precision (MXU) — percent-level
+    # reorth residue that runs the sweep away on long solves; "highest"
+    # emulates true f32 (the reference's CUBLAS numerics).  Bound at trace
+    # time; part of jit cache keys; no-op on CPU/f64.
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _rbl_impl(op, k, cfg, compute_eigenvectors, timer)
+
+
+def _rbl_impl(op, k, cfg, compute_eigenvectors, timer):
+    b = cfg.block_size
+    n = op.n
     sharding = _row_sharding(cfg)
     max_kryl = clamp_kryl_dim(
         cfg.max_kryl_dim, n, b, cfg.basis_dtype, cfg.compute_dtype,

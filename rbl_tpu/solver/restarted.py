@@ -117,6 +117,15 @@ def rbl_restarted(
     if not (0 < k <= n):
         raise ValueError(f"k={k} out of range for n={n}")
 
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _rbl_restarted_impl(
+            op, k, cfg, b, max_restarts, timer, checkpoint_path, state
+        )
+
+
+def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
+                        checkpoint_path, state):
+    n = op.n
     from .rbl import _row_sharding
 
     sharding = _row_sharding(cfg)

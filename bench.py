@@ -55,8 +55,23 @@ _REFERENCE_SHAPED_LOOP_S = 8.05
 
 
 def main():
+    import numpy as np
+
     run(timed=False)  # warm the compile caches
-    dt = min(run(timed=True)[0] for _ in range(3))  # best-of-3: tunnel RPC
+    best = None
+    for _ in range(3):  # best-of-3: tunnel RPC variance
+        dt, res = run(timed=True)
+        if best is None or dt < best[0]:
+            best = (dt, res)
+    dt, res = best
+    # Validate the EIGENVALUES against the analytic 2D Dirichlet Laplacian
+    # spectrum — a timing without an accuracy check once hid a false
+    # convergence that returned values 10% wrong in 0.6 s.
+    nx = 512
+    ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(res.eigenvalues)]
+    max_rel = float(np.max(np.abs(res.eigenvalues - lam) / lam))
+    assert max_rel < 0.05, f"headline eigenvalues off by {max_rel:.3f}"
     print(
         json.dumps(
             {
@@ -64,6 +79,7 @@ def main():
                 "value": round(dt, 3),
                 "unit": "s",
                 "vs_baseline": round(_REFERENCE_SHAPED_LOOP_S / dt, 2),
+                "max_rel_err": round(max_rel, 6),
             }
         )
     )

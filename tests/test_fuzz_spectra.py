@@ -125,6 +125,32 @@ def test_fuzz_sparse_operators_vs_eigsh(case):
     assert np.all(rel < 1e-10), (res.eigenvalues, w_ref)
 
 
+@pytest.mark.slow
+def test_f32_large_laplacian_no_false_convergence():
+    """Large-n f32 on a clustered-top spectrum (the headline bench shape):
+    regression for the pivot-clamp floor that silently destroyed f32
+    orthonormality at large n·b — the basis degraded globally and the
+    solve FALSELY converged with eigenvalues 10% wrong while the Lanczos
+    bounds read 1e-7 (they assume orthonormality)."""
+    import jax.numpy as jnp
+    from rbl_tpu.config import RBLConfig
+
+    nx = ny = 256
+    op = rt.Laplacian2D(nx=nx, ny=ny, _dtype=jnp.float32)
+    ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:20]
+    cfg = RBLConfig(
+        block_size=8, basis_dtype=jnp.float32, compute_dtype=jnp.float32,
+        qr_method="cholqr2", tol=1e-3, max_kryl_dim=512, eig_poll_cadence=16,
+    )
+    res = rt.rbl(op, 20, cfg=cfg)
+    rel = np.abs(res.eigenvalues - lam) / lam
+    assert np.max(rel) < 0.02, (res.eigenvalues[:5], lam[:5])
+    # if it claims convergence, the TRUE residuals must back it up
+    if res.converged:
+        assert np.max(res.residual_bounds) < 10 * cfg.tol
+
+
 def test_f32_precision_exhaustion_graceful():
     """f32 with dominance beyond eps's resolvable range (σ₁/σ_sea ≈ 1e5):
     the solver must degrade gracefully — finite values, honest TRUE

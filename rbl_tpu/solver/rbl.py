@@ -111,6 +111,13 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer):
         )
         D = np.asarray(D_j)
         bounds_desc = np.asarray(res_j)
+        if converged and np.max(bounds_desc) > 10 * cfg.tol:
+            # the Lanczos bound ‖B·y‖ assumes an orthonormal basis; if the
+            # TRUE residuals contradict it, the basis degraded and the
+            # convergence claim is not trustworthy — never report a
+            # converged=True result whose actual residuals fail the
+            # tolerance by an order of magnitude
+            converged = False
 
     return LanczosResult(
         eigenvalues=D,

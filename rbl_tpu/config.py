@@ -103,12 +103,14 @@ class RBLConfig:
     matmul_precision:
         XLA matmul input precision for the whole solve ("default" | "high"
         | "highest").  On TPU, f32 matmuls run the MXU at bfloat16 input
-        precision by DEFAULT (eps ≈ 8e-3): the reorthogonalization
-        projector then leaves percent-level ghost residue and the ‖B‖
-        recurrence runs away on long sweeps (measured: the f32 headline
-        tripped the precision-exhaustion detector at kryl = 568/768).
-        "highest" emulates true f32 via bf16 passes — the numerics the
-        reference gets from CUBLAS f32 GEMMs.  No effect on CPU or f64.
+        precision by DEFAULT (measured 2.3e-3 relative error per product):
+        the reorthogonalization projector then leaves percent-level ghost
+        residue and orthogonality decays on long sweeps.  "high" (3-pass
+        bf16, 1.3e-5 per product) restores the √eps_f32 ≈ 3.5e-4
+        semiorthogonality requirement with 25× margin at half the MXU cost
+        of "highest" (6-pass, 8.8e-7 — full CUBLAS-f32-equivalent
+        numerics); measured identical solve accuracy on the f32 headline.
+        No effect on CPU or f64.
     """
 
     block_size: int = 4
@@ -129,7 +131,7 @@ class RBLConfig:
     basis_device_cap_cols: Optional[int] = None
     chunk_growth_cap: int = 4
     pipeline_depth: int = 2
-    matmul_precision: str = "highest"
+    matmul_precision: str = "high"
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)

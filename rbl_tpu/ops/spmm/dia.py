@@ -17,7 +17,6 @@ densified-block format reaches for these matrices.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

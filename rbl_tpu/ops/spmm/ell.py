@@ -13,7 +13,6 @@ the hot path for matrices where gathers dominate.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

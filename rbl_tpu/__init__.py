@@ -10,6 +10,7 @@ mixed precision, and row-sharded multi-chip execution over a jax Mesh.
 Public surface (reference parity, SURVEY §1 L4):
   rbl / RBL                — RBL(A, k, b)            (RBL.jl:119)
   rbl_restarted / RBL_restarted — restarted+deflated  (restarted.jl:97,196)
+  rbl_svd                  — truncated SVD via the Gram operator (images.jl:21-25)
   RBLConfig                — every knob the reference hardcodes
   operators                — DiagonalOperator, DenseOperator, SparseEllOperator,
                              DiaOperator, BlockSparseOperator (Pallas BSR),
@@ -26,6 +27,7 @@ from .config import RBLConfig
 from .ops.spmm.operator import (
     DenseOperator,
     DiagonalOperator,
+    GramOperator,
     Laplacian2D,
     Laplacian3D,
     LinearOperator,
@@ -36,12 +38,15 @@ from .ops.spmm.dia import DiaOperator
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, rbl
+from .solver.restarted import RBL_restarted, rbl_restarted
+from .solver.svd import SVDResult, rbl_svd
 
 __all__ = [
     "RBLConfig",
     "LinearOperator",
     "DiagonalOperator",
     "DenseOperator",
+    "GramOperator",
     "SparseEllOperator",
     "DiaOperator",
     "BlockSparseOperator",
@@ -51,6 +56,10 @@ __all__ = [
     "LanczosResult",
     "rbl",
     "RBL",
+    "rbl_restarted",
+    "RBL_restarted",
+    "rbl_svd",
+    "SVDResult",
 ]
 
 __version__ = "0.1.0"

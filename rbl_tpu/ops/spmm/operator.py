@@ -118,6 +118,36 @@ class DenseOperator(LinearOperator):
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
+class GramOperator(LinearOperator):
+    """A = BᵀB (or B·Bᵀ) of a rectangular factor B, applied matrix-free as
+    two chained MXU GEMMs — the Gram matrix is never materialized.
+
+    The reference's image demo forms the n×n Gram densely before solving
+    (images.jl:21 ``RBL(B'B, k)``); matrix-free keeps HBM at O(m·n)
+    instead of O(n²) + O(m·n) and both GEMMs MXU-shaped.  Used by
+    ``rbl_svd`` (solver/svd.py)."""
+
+    B: jax.Array  # (m, n)
+    left: bool = static_field(default=False)  # True: A = B·Bᵀ (m×m)
+
+    @property
+    def shape(self):
+        s = self.B.shape[0] if self.left else self.B.shape[1]
+        return (s, s)
+
+    @property
+    def dtype(self):
+        return self.B.dtype
+
+    def apply(self, X):
+        acc = _pet(X.dtype)
+        F, S = (self.B.T, self.B) if self.left else (self.B, self.B.T)
+        Y = jnp.dot(F, X, preferred_element_type=acc)
+        return jnp.dot(S, Y, preferred_element_type=acc)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
 class Laplacian2D(LinearOperator):
     """Matrix-free 5-point 2D Laplacian stencil on an nx×ny grid
     (Dirichlet).  n = nx*ny.  TPU-native 'sparse' operator: the stencil is

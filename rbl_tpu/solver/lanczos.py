@@ -246,6 +246,55 @@ def _sweep_chunk(
     return basis_buf, Qi, Qprev, Bi, TB
 
 
+@partial(jax.jit, static_argnames=("cdt",), donate_argnums=(1,))
+def _split_step_recur(op: LinearOperator, basis_buf, Qi, Qprev, Bi, col0, *, cdt):
+    """Archive Qprev and run ONE three-term-recurrence step, halted at the
+    raw residual U (before any reorthogonalization or QR).
+
+    Used when the host-offload tier is active: the offloaded panels must
+    project the NEWBORN residual, never the live pair (Qi, Qprev) whose T
+    couplings (A_{i-1}, B_i) are already recorded — retroactively scrubbing
+    recorded blocks makes T ≠ QᵀAQ by O(‖leak‖·‖A‖) (the reference's
+    hybrid_part_reorth! does exactly that, RBL_gpu.jl:59-81; measured
+    ~1e-7 eigenvalue error at the device cap before this split-step
+    design).  The caller streams each host panel through a projection of U
+    (one async dispatch per panel, H→D DMA from pinned host memory — no
+    host round-trip), finishes the step with _split_step_qr, and fuses the
+    window's remaining steps via the normal _sweep_chunk."""
+    from ..ops.contract import gram
+
+    acc = _pet(cdt)
+    basis_buf = jax.lax.dynamic_update_slice(
+        basis_buf, Qprev.astype(basis_buf.dtype), (jnp.int32(0), col0)
+    )
+    Qc = Qi.astype(cdt)
+    U = op.apply(Qc) - jnp.dot(
+        Qprev.astype(cdt), Bi.T, preferred_element_type=acc
+    )
+    Ai = gram(Qc, U)
+    U = U - jnp.dot(Qc, Ai, preferred_element_type=acc)
+    return basis_buf, U, Ai
+
+
+@jax.jit
+def _project_out_jit(basis, W):
+    from ..ops.reorth import project_out
+
+    return project_out(basis, W)
+
+
+@partial(jax.jit, static_argnames=("qr_method", "bdt"))
+def _split_step_qr(U, lock_basis, *, qr_method, bdt):
+    """Finish a split step: deflate the (now host-tier-clean) residual
+    against the lock set and orthonormalize it."""
+    from ..ops.reorth import deflate
+
+    if lock_basis is not None:
+        U = deflate(lock_basis, U)
+    Qn, Bn = block_qr(U, method=qr_method)
+    return Qn.astype(bdt), Bn
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _zero_cols_range(buf, lo, hi):
     """Zero basis columns [lo, hi) — breakdown / speculation rewind.
@@ -281,6 +330,61 @@ def _rerandomize_block(basis_buf, Qprev, key, qr_method):
         W = project_out(Qprev, W)
         W, _ = block_qr(W, method=qr_method)
     return W
+
+
+def _split_coupling(B_s: np.ndarray, r0: int):
+    """Host-side factorization for a partial-breakdown repair: split the
+    rank-deficient coupling block B_s = P·Σ·Wᵀ into a rotation Pf for the
+    device block and an UPPER-TRIANGULAR honest coupling B_new (zero rows
+    past r0), such that Q_old·B_s = (Q_old·Pf)[:, :r0]·B_new[:r0] up to the
+    discarded O(σ_dead) part.  Triangularity matters: T's band layout
+    records only B's upper triangle (insertB! semantics, common.jl:20-26),
+    so a Σ·Wᵀ coupling would silently lose its lower part — instead the QR
+    rotation g of the honest rows is folded into Pf."""
+    P_, sv_, Wt_ = np.linalg.svd(B_s.astype(np.float64))
+    M = sv_[:r0, None] * Wt_[:r0]           # (r0, b) honest coupling
+    g, r = np.linalg.qr(M)                  # g: (r0, r0), r: (r0, b) upper
+    Pf = P_.copy()
+    Pf[:, :r0] = P_[:, :r0] @ g
+    B_new = np.zeros_like(B_s)
+    B_new[:r0] = r.astype(B_s.dtype)
+    return Pf, B_new
+
+
+@partial(jax.jit, static_argnames=("r0", "qr_method"))
+def _repair_partial_block(basis_buf, Qprev, Qold, P, key, *, r0, qr_method):
+    """Partial-breakdown repair: the residual U = Q_old·B lost rank —
+    σ_{r0+1..b}(B) sit at the breakdown floor while σ_{1..r0} are healthy.
+    QR of a rank-deficient residual orthonormalizes ROUNDING NOISE into the
+    dead columns; that noise is dominated by converged-direction
+    components, so the dead columns are ghost seeds: the next application
+    of A re-amplifies them to O(‖A‖), T picks up duplicate eigenvalues,
+    and the basis loses orthogonality at O(1) (measured: a rank-5 Gram
+    operator with k=8 returned eigenvalues wrong by 2×).  The max-entry
+    collapse test cannot see this — ‖B‖ stays O(‖A‖).
+
+    Repair: rotate Q_old by B's left singular basis P so the honest
+    residual directions U·W_r/σ_r = (Q_old·P)[:, :r0] land in the first r0
+    columns — exactly preserved, keeping T ≡ QᵀAQ — and replace the dead
+    columns with fresh randomness orthogonalized against everything (CGS2
+    + QR, as in _rerandomize_block).  The honest coupling is Σ_r·W_rᵀ with
+    zero rows for the repaired columns (an exact deflation split, assembled
+    host-side by the caller)."""
+    from ..ops.reorth import project_out
+
+    Qrot = jnp.dot(
+        Qold, P.astype(Qold.dtype), preferred_element_type=_pet(Qold.dtype)
+    )
+    H = Qrot[:, :r0]
+    Z = jax.random.normal(
+        key, (Qold.shape[0], Qold.shape[1] - r0), dtype=Qold.dtype
+    )
+    for _ in range(2):
+        Z = project_out(basis_buf, Z)
+        Z = project_out(Qprev, Z)
+        Z = project_out(H, Z)
+        Z, _ = block_qr(Z, method=qr_method)
+    return jnp.concatenate([H, Z], axis=1)
 
 
 @partial(jax.jit, static_argnames=("cdt",))
@@ -441,6 +545,37 @@ def lanczos_iteration(
     dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
     pr = cfg.partial_reorth_cadence
 
+    # Rank check of the FIRST coupling block (the chunk scan below covers
+    # later steps): a start block wider than the reachable subspace — e.g.
+    # rank(A) < b, or an unlucky Ω — makes U₁ rank-deficient, and its QR
+    # seeds ghost columns into Q₂ before the first chunk even launches.
+    # The discard threshold is the ROUNDING floor (~eps·‖A‖, the scale of
+    # noise A injects per application), NOT the scan's √eps·‖A‖ breakdown
+    # level: a restarted sweep starts from a near-converged Ritz vector
+    # whose honest B₁ ≈ its residual — small, but real; discarding it
+    # freezes the locked value at its current error (measured 2e-5 on the
+    # moderate-decay restart suite).  Between the two levels the coupling
+    # is honest but ghost-prone — danger-mode reorth, no discard.
+    sv0 = np.linalg.svd(AB0[1], compute_uv=False)
+    thr0 = 100.0 * eps * max(tscale, np.finfo(np.float64).tiny)
+    if thr0 <= sv0[-1] < np.sqrt(eps) * tscale:
+        danger = True
+    if sv0[-1] < thr0:
+        r0 = int(np.sum(sv0 >= thr0))
+        Pf0, B_new0 = _split_coupling(AB0[1], r0)
+        key, sub = jax.random.split(key)
+        with timer.section("rerandomize"):
+            Q2 = _repair_partial_block(
+                store.view(), Qprev, Qi, jnp.asarray(Pf0), sub,
+                r0=r0, qr_method=qr_method,
+            )
+        _dbg(f"partial breakdown at i=1: rank {r0}/{b} — repaired")
+        T.set_subdiag(B_new0, 0)
+        B_last = B_new0
+        B_hist[1] = B_new0
+        dev = (Q2, Qprev, jnp.asarray(B_new0))
+        danger = True  # at an invariant subspace: every-step CGS2
+
     n_chunks = 0  # chunks dispatched so far (drives geometric chunk growth)
 
     def dispatch():
@@ -488,29 +623,57 @@ def lanczos_iteration(
             reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
         store._ensure(store.ncols + S * b)
         col0_abs = store.ncols
-        if store.host_ncols and reorth_pattern.count(True):
-            # hybrid reorth, host tier (reference hybrid_part_reorth!,
-            # RBL_gpu.jl:59-81): offloaded panels re-enter the device once
-            # per poll window and project the live blocks; the in-window
-            # reorth steps then only see the device tier
-            with timer.section("host_tier_reorth"):
-                from ..ops.reorth import project_out
-
-                Qi_h, Qprev_h = dev[0], dev[1]
-                for panel in store.host_tier():
-                    W = jnp.concatenate([Qi_h, Qprev_h], axis=1)
-                    W = project_out(jax.device_put(panel, store.buf.sharding), W)
-                    Qi_h, Qprev_h = W[:, :b], W[:, b:]
-                dev = (Qi_h, Qprev_h, dev[2])
+        col0_rel = jnp.int32(col0_abs - store.dev_base)
+        npass = 2 if (danger or selective) else 1
         with timer.section("sweep_dispatch"):
-            buf, Qi_n, Qprev_n, Bi_n, TB = _sweep_chunk(
-                op, store.buf, dev[0], dev[1], dev[2],
-                jnp.int32(col0_abs - store.dev_base), lock_basis,
-                cdt=cdt, qr_method=qr_method, nsteps=S,
-                reorth_pattern=reorth_pattern,
-                loc_passes=cfg.loc_reorth_passes,
-                reorth_passes=2 if (danger or selective) else 1,
-            )
+            if store.host_ncols and reorth_pattern.count(True):
+                # Hybrid reorth, host tier (reference hybrid_part_reorth!,
+                # RBL_gpu.jl:59-81), re-designed for T-consistency: the
+                # offloaded panels re-enter the device once per poll window
+                # and project the window's FIRST newborn residual U before
+                # its QR.  They must never scrub the live pair (Qi, Qprev):
+                # those blocks' T couplings (A_{i-1}, B_i) are already
+                # recorded, and a retroactive edit makes T ≠ QᵀAQ by
+                # O(‖leak‖·‖A‖) — measured ~1e-7 eigenvalue error at the
+                # device cap under the live-pair scheme.  The split step
+                # always runs the full (device tier + panels + Q_i) scrub,
+                # regardless of reorth_pattern[0]; the window's remaining
+                # steps fuse into the normal chunk and see only the device
+                # tier, exactly like the old scheme.
+                buf, U, Ai0 = _split_step_recur(
+                    op, store.buf, dev[0], dev[1], dev[2], col0_rel, cdt=cdt
+                )
+                for _ in range(npass):
+                    U = _project_out_jit(buf, U)
+                    for panel in store.host_tier():
+                        U = _project_out_jit(
+                            jax.device_put(panel, store.buf.sharding), U
+                        )
+                    U = _project_out_jit(dev[0], U)
+                Q1, B1 = _split_step_qr(
+                    U, lock_basis, qr_method=qr_method, bdt=dev[0].dtype
+                )
+                TB0 = jnp.stack([Ai0, B1.astype(Ai0.dtype)])
+                if S > 1:
+                    buf, Qi_n, Qprev_n, Bi_n, TB1 = _sweep_chunk(
+                        op, buf, Q1, dev[0], B1, col0_rel + b, lock_basis,
+                        cdt=cdt, qr_method=qr_method, nsteps=S - 1,
+                        reorth_pattern=reorth_pattern[1:],
+                        loc_passes=cfg.loc_reorth_passes,
+                        reorth_passes=npass,
+                    )
+                    TB = jnp.concatenate([TB0, TB1], axis=0)
+                else:
+                    Qi_n, Qprev_n, Bi_n, TB = Q1, dev[0], B1, TB0
+            else:
+                buf, Qi_n, Qprev_n, Bi_n, TB = _sweep_chunk(
+                    op, store.buf, dev[0], dev[1], dev[2],
+                    col0_rel, lock_basis,
+                    cdt=cdt, qr_method=qr_method, nsteps=S,
+                    reorth_pattern=reorth_pattern,
+                    loc_passes=cfg.loc_reorth_passes,
+                    reorth_passes=npass,
+                )
         store.buf = buf
         store.ncols = col0_abs + S * b
         dev = (Qi_n, Qprev_n, Bi_n)
@@ -660,7 +823,10 @@ def lanczos_iteration(
         # j = i0+s; it consumed (Q_j, Q_{j-1}, B_j), wrote Q_{j-1} to the
         # basis, and produced (A_j, B_{j+1}).
         collapse_at = None
+        partial_at = None   # first step whose coupling block lost rank
+        partial_rank = 0    # its number of healthy singular directions
         danger_at = None  # first mid-chunk step entering the danger regime
+        chunk_min_sv = np.inf  # min σ_min(B_s) over this chunk
         chunk_scale = 0.0  # max |A_s| over this chunk: the ACTIVE Rayleigh
         # scale.  Breakdown/danger thresholds compare ‖B‖ against THIS, not
         # against the historical tscale: once a dominant direction is
@@ -690,6 +856,24 @@ def lanczos_iteration(
             chunk_scale = max(chunk_scale, a_s)
             if np.abs(B_s).max() < np.sqrt(eps) * max(a_s, tscale * eps):
                 collapse_at = s  # B_{j+1} ≈ 0: steps after s are noise
+                break
+            B_svals = np.linalg.svd(B_s, compute_uv=False)
+            chunk_min_sv = min(chunk_min_sv, B_svals[-1])
+            # Partial-collapse discard threshold: the ROUNDING floor
+            # (noise A injects per application), not the √eps breakdown
+            # level — an honest-but-small σ (a nearly-converged interior
+            # direction, e.g. a restart block) must stay in T; between
+            # the levels the hysteresis below escalates to danger reorth.
+            rank_thr = 100.0 * eps * max(tscale, np.finfo(np.float64).tiny)
+            if B_svals[-1] < rank_thr:
+                # PARTIAL rank collapse: some σ of the coupling block sit
+                # at the rounding floor while ‖B‖ stays O(‖A‖) — the
+                # max-entry test above is blind to it, but the QR has
+                # already orthonormalized ghost noise into the dead
+                # columns (see _repair_partial_block).  Steps after s
+                # consumed the poisoned block.
+                partial_at = s
+                partial_rank = int(np.sum(B_svals >= rank_thr))  # ≥ 1
                 break
             if (
                 not selective
@@ -728,9 +912,11 @@ def lanczos_iteration(
                 break
             if s < S - 1:
                 T.set_subdiag(B_s, i0 + s - 1)
-        done = S if collapse_at is None and danger_at is None else (
-            (collapse_at if collapse_at is not None else danger_at) + 1
-        )
+        done = S
+        for stop in (collapse_at, danger_at, partial_at):
+            if stop is not None:
+                done = stop + 1
+                break
         if explosion_at is not None:
             done = explosion_at  # step s itself is discarded
         i = i0 + done - 1
@@ -790,6 +976,53 @@ def lanczos_iteration(
             i_next = i + 1
             inflight.clear()  # speculated chunks consumed garbage state
 
+        if partial_at is not None:
+            # Partial rank collapse at iteration j = i: keep the healthy
+            # singular directions of the coupling block exactly (they carry
+            # real O(‖A‖) couplings — dropping them, as the full-collapse
+            # path does with its tiny B, would put O(‖A‖) error into T),
+            # re-randomize the dead ones with zero coupling, and discard
+            # the poisoned later steps.  See _repair_partial_block.
+            s = partial_at
+            q_col = col0_abs + (s + 1) * b
+            Q_j = (
+                store.read_block(q_col, b) if s + 1 <= S - 1 else cur["Qprev"]
+            )
+            if s == S - 1:
+                Q_jp1 = cur["Qi"]
+            elif s == S - 2:
+                Q_jp1 = cur["Qprev"]
+            else:
+                Q_jp1 = store.read_block(q_col + b, b)
+            rewind_to((i - 1) * b)
+            Qprev = Q_j
+            B_s = TB[2 * s + 1]
+            Pf, B_new = _split_coupling(B_s, partial_rank)
+            key, sub = jax.random.split(key)
+            with timer.section("rerandomize"):
+                Qnew = _repair_partial_block(
+                    store.view(), Qprev, Q_jp1, jnp.asarray(Pf), sub,
+                    r0=partial_rank, qr_method=qr_method,
+                )
+            _dbg(
+                f"partial breakdown at i={i}: rank {partial_rank}/{b} "
+                f"(σ_min={B_svals[-1]:.3g}) — repaired"
+            )
+            B_last = B_new
+            B_hist[i] = B_new
+            dev = (Qnew, Qprev, jnp.asarray(B_new))
+            i_next = i + 1
+            inflight.clear()  # speculated chunks consumed the poisoned block
+            # A rank-deficient residual means the sweep is AT an invariant
+            # subspace: the repaired random directions re-excite converged
+            # eigendirections through A at O(‖A‖·leak) per step, which
+            # cadence-2 reorth cannot contain (measured: rank-5 Gram, k=8 —
+            # ghost couplings reached O(‖A‖) within 2 iterations of the
+            # repair).  Every-step CGS2 until the spectrum calms.
+            danger = True
+            calm_chunks = 0
+            n_chunks = 0
+
         if danger_at is not None:
             # Mid-chunk danger onset (see the scan above): discard the
             # calm-policy tail of this chunk and the speculated one, restore
@@ -827,11 +1060,20 @@ def lanczos_iteration(
             (float(np.abs(TB[2 * s + 1]).max()) for s in range(done)),
             default=None,
         )
+        # σ_min in the ghost-prone band (above the partial-collapse
+        # rounding floor, below the √eps breakdown level): an honest but
+        # nearly-converged interior direction — its coupling stays in T,
+        # but its ghost re-amplifies like any converged direction, and the
+        # max-entry min_B test below cannot see it inside a healthy block.
+        sv_ghostly = chunk_min_sv < np.sqrt(eps) * max(
+            chunk_scale, tscale * eps
+        )
         if min_B is None:
             pass  # empty chunk (explosion at step 0): keep current mode
-        elif min_B < 1e-2 * chunk_scale:
+        elif min_B < 1e-2 * chunk_scale or sv_ghostly:
             if not danger:
                 _dbg(f"danger ON at i={i}: min|B|={min_B:.3g} "
+                     f"min sv={chunk_min_sv:.3g} "
                      f"active scale={chunk_scale:.3g}")
             danger = True
             calm_chunks = 0

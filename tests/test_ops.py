@@ -246,6 +246,45 @@ def test_basis_store_host_offload_solve():
     assert resid.max() < 1e-6 * d.max()
 
 
+def test_host_offload_T_consistency():
+    """With offload active, T must equal QᵀAQ to rounding: host-tier
+    reorthogonalization applies to the newborn residual at birth (the
+    split-step path), never to live blocks whose T couplings are already
+    recorded.  The reference's hybrid_part_reorth! (RBL_gpu.jl:59-81)
+    scrubs live blocks retroactively — O(‖leak‖·‖A‖) T error (measured
+    ~1e-7 at the cap under that scheme; this gate is 1e-10)."""
+    import jax
+
+    import rbl_tpu as rt
+    from rbl_tpu.ops.band import band_to_dense
+    from rbl_tpu.ops.spmm.operator import as_operator
+    from rbl_tpu.solver.basis import BasisStore
+    from rbl_tpu.solver.lanczos import lanczos_iteration, random_start_block
+
+    n, k, b, cap = 500, 6, 4, 48
+    d = np.linspace(1.0, 50.0, n)
+    # unreachable tol forces the sweep to the Krylov cap → several
+    # offload compactions
+    cfg = rt.RBLConfig(
+        block_size=b, max_kryl_dim=120, tol=1e-300, basis_device_cap_cols=cap
+    )
+    op = as_operator(d, dtype=cfg.compute_dtype)
+    Qi = random_start_block(op, jax.random.PRNGKey(cfg.seed), b, cfg)
+    store = BasisStore(
+        n, b, max_cols=cfg.max_kryl_dim + b, dtype=cfg.basis_dtype,
+        device_cap_cols=cap,
+    )
+    _, _, T, _, _, _ = lanczos_iteration(op, k, cfg, Qi, store)
+    assert store.host_ncols > 0  # offload actually happened
+    panels = [np.asarray(p) for p in store.host_tier()]
+    dev_tier = np.asarray(store.view())[:, : store.dev_ncols]
+    Q = np.concatenate(panels + [dev_tier], axis=1)
+    assert Q.shape[1] == store.ncols
+    Td = band_to_dense(T.view(store.ncols))
+    QtAQ = Q.T @ (d[:, None] * Q)
+    assert np.abs(Td - QtAQ).max() < 1e-10 * d.max()
+
+
 def test_breakdown_rerandomization_low_rank():
     """Exact invariant-subspace breakdown: a rank-6 operator exhausts its
     Krylov space after two b=3 blocks; the solver must detect the collapsed

@@ -1,0 +1,84 @@
+"""rbl_svd — truncated SVD via the matrix-free Gram operator.
+
+The reference computes SVDs only inside the image demo (images.jl:21-25:
+RBL on a densified BᵀB, U = B·V/σ).  These tests gate the first-class API
+against numpy's exact SVD: singular values, factor orthonormality, singular
+residuals ‖B·v − σ·u‖, and Eckart–Young optimality of the reconstruction.
+"""
+
+import numpy as np
+import pytest
+
+import rbl_tpu as rt
+
+
+def _make_B(m, n, seed=0, decay=None):
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    V, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    s = decay if decay is not None else np.linspace(50.0, 1.0, min(m, n))
+    return (U * s[None, :]) @ V.T, np.sort(s)[::-1]
+
+
+def _check(B, s_true, res, k):
+    U, s, V = np.asarray(res.U), res.s, np.asarray(res.V)
+    np.testing.assert_allclose(s, s_true[:k], rtol=1e-9)
+    assert np.abs(U.T @ U - np.eye(k)).max() < 1e-8
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-8
+    # singular residuals of each recovered triplet
+    r1 = np.linalg.norm(B @ V - U * s[None, :], axis=0)
+    r2 = np.linalg.norm(B.T @ U - V * s[None, :], axis=0)
+    assert max(r1.max(), r2.max()) < 1e-7 * s[0]
+    # Eckart–Young: the rank-k reconstruction error equals the optimal one
+    err = np.linalg.norm(B - (U * s[None, :]) @ V.T)
+    opt = np.linalg.norm(s_true[k:])
+    assert err < opt + 1e-7 * s[0]
+
+
+def test_svd_tall_matches_numpy():
+    B, s_true = _make_B(120, 70, seed=1)
+    res = rt.rbl_svd(B, 8, b=4)
+    _check(B, s_true, res, 8)
+
+
+def test_svd_wide_uses_small_side():
+    """m < n routes the Lanczos solve through B·Bᵀ (m-dimensional Krylov
+    vectors) and recovers V = Bᵀ·U/σ."""
+    B, s_true = _make_B(60, 150, seed=2)
+    res = rt.rbl_svd(B, 6, b=4)
+    _check(B, s_true, res, 6)
+    assert res.U.shape == (60, 6) and res.V.shape == (150, 6)
+
+
+def test_svd_rank_deficient_zero_guard():
+    """σ at the numerical-rank floor must produce zeroed cross-factor
+    columns, not 1/σ garbage."""
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((80, 5)) @ rng.standard_normal((5, 90))
+    res = rt.rbl_svd(B, 8, b=4, cfg=rt.RBLConfig(max_kryl_dim=64))
+    s_true = np.linalg.svd(B, compute_uv=False)
+    np.testing.assert_allclose(res.s[:5], s_true[:5], rtol=1e-8)
+    # m < n: the solve ran on B·Bᵀ and V is the cross-recovered (guarded)
+    # factor.  normal-equations resolvability floor (see solver/svd.py).
+    V = np.asarray(res.V)
+    dead = res.s <= np.sqrt(np.finfo(np.float64).eps * 90) * res.s[0]
+    assert dead.any()  # rank 5 < k=8: the tail sits at the floor
+    assert np.all(np.isfinite(V)) and np.all(np.isfinite(np.asarray(res.U)))
+    assert np.abs(V[:, dead]).max() == 0.0
+
+
+def test_svd_input_validation():
+    with pytest.raises(ValueError):
+        rt.rbl_svd(np.ones((4, 4, 4)), 2)
+    with pytest.raises(ValueError):
+        rt.rbl_svd(np.ones((10, 6)), 7)
+
+
+def test_svd_scipy_sparse_input():
+    import scipy.sparse as sp
+
+    B, s_true = _make_B(90, 50, seed=4)
+    B[np.abs(B) < 0.05] = 0.0
+    s_true = np.linalg.svd(B, compute_uv=False)
+    res = rt.rbl_svd(sp.csr_matrix(B), 5, b=5)
+    np.testing.assert_allclose(res.s, s_true[:5], rtol=1e-9)

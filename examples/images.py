@@ -60,19 +60,17 @@ def main():
 
     import rbl_tpu as rt
 
-    # 1. RBL on the Gram matrix (images.jl:21-25); f64 by default, like
-    # the reference: the Gram squares the spectral dominance, which puts
-    # the sea of small σ² beneath f32's resolvable range
+    # 1. rbl_svd — RBL on the matrix-free Gram operator (images.jl:21-25,
+    # lifted into the solver API: small-side selection, σ≈0 guarding); f64
+    # by default, like the reference: the Gram squares the spectral
+    # dominance, which puts the sea of small σ² beneath f32's resolvable
+    # range
     dt_ = jnp.float32 if args.f32 else jnp.float64
     cfg = rt.RBLConfig(block_size=8, basis_dtype=dt_, compute_dtype=dt_,
                        tol=1e-5 if args.f32 else 1e-7)
     t0 = time.perf_counter()
-    G = rt.DenseOperator(jnp.asarray((B.T @ B), dtype=dt_))
-    res = rt.rbl(G, k, cfg=cfg)
-    D = res.eigenvalues                      # σ²
-    V = np.asarray(res.eigenvectors)         # right singular vectors
-    sigma = np.sqrt(np.maximum(D, 0.0))
-    U = (B @ V) / sigma[None, :]
+    res = rt.rbl_svd(B, k, cfg=cfg)
+    sigma, U, V = res.s, np.asarray(res.U), np.asarray(res.V)
     B_rbl = (U * sigma[None, :]) @ V.T
     t_rbl = time.perf_counter() - t0
     err_rbl = np.linalg.norm(B - B_rbl) / np.linalg.norm(B)

@@ -14,6 +14,7 @@ Public surface (reference parity, SURVEY §1 L4):
   RBLConfig                — every knob the reference hardcodes
   operators                — DiagonalOperator, DenseOperator, SparseEllOperator,
                              DiaOperator, BlockSparseOperator (Pallas BSR),
+                             CooOperator/HybOperator (skewed row lengths),
                              Laplacian2D/3D; as_operator auto-selects
 """
 
@@ -34,6 +35,7 @@ from .ops.spmm.operator import (
     as_operator,
 )
 from .ops.spmm.ell import SparseEllOperator
+from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
@@ -48,6 +50,8 @@ __all__ = [
     "DenseOperator",
     "GramOperator",
     "SparseEllOperator",
+    "CooOperator",
+    "HybOperator",
     "DiaOperator",
     "BlockSparseOperator",
     "Laplacian2D",

@@ -1,0 +1,181 @@
+"""COO segment-sum + HYB (capped-ELL / COO overflow) sparse operators.
+
+The reference relies on CuSPARSE to handle arbitrary sparsity structure
+(RBL_gpu.jl:152,176).  On TPU the portable ELL scan (ell.py) pads every row
+to the MAXIMUM row nnz — for skewed row-length distributions (power-law
+graphs, matrices with a few dense rows) that multiplies both memory and scan
+length by the skew factor: one degree-10⁴ row in a mean-degree-10 graph
+makes ELL 1000× too big.  Two classic layouts fix it:
+
+- ``CooOperator``: nonzeros as flat (rows, cols, vals) triplets sorted by
+  row; SpMM is one gather of X rows + one ``segment_sum`` — O(nnz·b) work
+  regardless of skew, fully static shapes, optional chunking to bound the
+  (nnz, b) gather intermediate in HBM.
+- ``HybOperator``: ELL capped at a row-length quantile (the dense,
+  vectorizable bulk) + COO for the overflow entries of the few long rows —
+  the ELL/COO hybrid of Bell & Garland's classic SpMV taxonomy, built here
+  by composing the two operator pytrees.
+
+``as_operator(..., format="auto")`` routes skewed matrices here
+(operator.py ``_pick_sparse_format``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operator import LinearOperator, _pet, register_operator, static_field
+
+# Pad the triplet arrays to a lane-friendly multiple so re-runs with
+# slightly different nnz hit the same compiled program.
+_NNZ_ALIGN = 1024
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class CooOperator(LinearOperator):
+    """Symmetric sparse operator as row-sorted COO triplets.
+
+    rows/cols: (nnz_pad,) int32, sorted by row; padding slots have val 0
+    and row/col 0 (they contribute nothing to the segment sum).
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    _n: int = static_field(default=0)
+    # Max gather-intermediate rows per chunk: bounds the (chunk, b) HBM
+    # scratch for very large nnz; one chunk (no scan) when nnz fits.
+    _chunk: int = static_field(default=1 << 22)
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self):
+        return int(jnp.count_nonzero(self.vals))
+
+    def apply(self, X):
+        n = self._n
+        nnz = self.rows.shape[0]
+        acc = _pet(X.dtype)
+
+        def seg(rows, cols, vals):
+            contrib = (vals[:, None] * jnp.take(X, cols, axis=0)).astype(acc)
+            return jax.ops.segment_sum(
+                contrib, rows, num_segments=n, indices_are_sorted=True
+            )
+
+        if nnz <= self._chunk:
+            return seg(self.rows, self.cols, self.vals).astype(X.dtype)
+
+        c = self._chunk
+        m = nnz // c  # nnz_pad is aligned; pad tail handled below
+        body = lambda out, t: (out + seg(*t), None)
+        parts = (
+            self.rows[: m * c].reshape(m, c),
+            self.cols[: m * c].reshape(m, c),
+            self.vals[: m * c].reshape(m, c),
+        )
+        out, _ = jax.lax.scan(body, jnp.zeros((n, X.shape[1]), acc), parts)
+        if m * c < nnz:
+            out = out + seg(self.rows[m * c:], self.cols[m * c:], self.vals[m * c:])
+        return out.astype(X.dtype)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None):
+        import scipy.sparse as sp
+
+        A = sp.coo_matrix(A)
+        dtype = np.dtype(dtype or A.dtype)
+        return cls._from_triplets(A.row, A.col, A.data.astype(dtype), A.shape[0])
+
+    @classmethod
+    def _from_triplets(cls, rows, cols, vals, n):
+        order = np.argsort(rows, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        pad = (-len(rows)) % _NNZ_ALIGN
+        if pad or len(rows) == 0:
+            pad = pad or _NNZ_ALIGN
+            rows = np.concatenate([rows, np.zeros(pad, rows.dtype)])
+            cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+            vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        return cls(
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            vals=jnp.asarray(vals),
+            _n=n,
+        )
+
+    @classmethod
+    def from_dense(cls, M, dtype=None):
+        import scipy.sparse as sp
+
+        return cls.from_scipy(sp.coo_matrix(np.asarray(M)), dtype=dtype)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class HybOperator(LinearOperator):
+    """ELL capped at a row-length quantile + COO overflow (HYB layout)."""
+
+    ell: LinearOperator  # SparseEllOperator over the capped rows
+    coo: CooOperator     # overflow entries of the long rows
+
+    @property
+    def shape(self):
+        return self.ell.shape
+
+    @property
+    def dtype(self):
+        return self.ell.dtype
+
+    @property
+    def nnz(self):
+        return self.ell.nnz + self.coo.nnz
+
+    def apply(self, X):
+        return self.ell.apply(X) + self.coo.apply(X)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None, quantile: float = 0.95):
+        """Cap ELL at the ``quantile`` row-length; spill the rest to COO.
+
+        The cap keeps the scan length at the TYPICAL row length; the few
+        rows longer than that contribute only their tail entries to the
+        O(nnz_tail) COO pass."""
+        import scipy.sparse as sp
+
+        from .ell import SparseEllOperator
+
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        dtype = np.dtype(dtype or A.dtype)
+        row_nnz = np.diff(A.indptr)
+        L = max(int(np.quantile(row_nnz, quantile)), 1)
+        slot = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in row_nnz]
+        ) if A.nnz else np.zeros(0, np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), row_nnz)
+        keep = slot < L
+        ell_part = sp.csr_matrix(
+            (A.data[keep], (rows[keep], A.indices[keep])), shape=A.shape
+        )
+        spill = ~keep
+        ell = SparseEllOperator.from_scipy(ell_part, dtype=dtype)
+        coo = CooOperator._from_triplets(
+            rows[spill].astype(np.int32),
+            A.indices[spill].astype(np.int32),
+            A.data[spill].astype(dtype),
+            n,
+        )
+        return cls(ell=ell, coo=coo)

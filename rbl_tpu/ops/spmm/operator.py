@@ -245,6 +245,12 @@ def _pick_sparse_format(A, dtype) -> str:
         fill = A.nnz / max(blocks * 128 * 128, 1)
         if fill >= 0.02:
             return "bsr"
+    # ELL pads every row to the max row nnz: under row-length skew
+    # (power-law graphs, a few dense rows) that multiplies memory and scan
+    # length by the skew factor — route to HYB (capped ELL + COO overflow)
+    row_nnz = _np.diff(A.tocsr().indptr)
+    if row_nnz.size and row_nnz.max() > 4 * max(row_nnz.mean(), 1.0):
+        return "hyb"
     return "ell"
 
 
@@ -254,8 +260,9 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
     Accepts: LinearOperator (returned as-is), dense ndarray/jax array,
     scipy.sparse matrix, 1-D array (diagonal).  Sparse matrices pick the
     TPU-native layout automatically ("auto"): DIA for banded, Pallas BSR
-    for block-structured (TPU, ≤f32), ELL otherwise; or force one with
-    format="dia" | "bsr" | "ell".
+    for block-structured (TPU, ≤f32), HYB for skewed row-length
+    distributions, ELL otherwise; or force one with
+    format="dia" | "bsr" | "ell" | "hyb" | "coo".
     """
     if isinstance(A, LinearOperator):
         return A
@@ -271,6 +278,14 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
             return BlockSparseOperator.from_scipy(
                 A, dtype=dtype or jnp.float32
             )
+        if fmt == "hyb":
+            from .coo import HybOperator
+
+            return HybOperator.from_scipy(A, dtype=dtype)
+        if fmt == "coo":
+            from .coo import CooOperator
+
+            return CooOperator.from_scipy(A, dtype=dtype)
         from .ell import SparseEllOperator
 
         return SparseEllOperator.from_scipy(A.tocsr(), dtype=dtype)

@@ -120,3 +120,82 @@ def test_bsr_sums_duplicate_coo_entries():
     X = np.eye(8, dtype=np.float32)
     Y = np.asarray(op.apply(jnp.asarray(X)))
     np.testing.assert_allclose(Y, A.toarray(), atol=1e-6)
+
+
+def _skewed_sym(n, seed=0):
+    """Sparse background + a few half-dense rows: the row-length skew that
+    makes pure ELL pad every row to ~n/2."""
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=0.01, random_state=rng).tolil()
+    for r in rng.choice(n, 3, replace=False):
+        cols = rng.choice(n, n // 2, replace=False)
+        A[r, cols] = rng.standard_normal(len(cols))
+    return ((A + A.T) * 0.5).tocsr()
+
+
+def test_coo_matches_scipy():
+    from rbl_tpu.ops.spmm.coo import CooOperator
+
+    A = _random_sym(300, 0.03, seed=5)
+    op = CooOperator.from_scipy(A)
+    X = np.random.default_rng(1).standard_normal((300, 8))
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(X)), A @ X, rtol=1e-12)
+
+
+def test_coo_chunked_matches_unchunked():
+    import dataclasses
+
+    from rbl_tpu.ops.spmm.coo import CooOperator
+
+    A = _random_sym(300, 0.05, seed=6)
+    op = CooOperator.from_scipy(A)
+    small = dataclasses.replace(op, _chunk=1024)  # forces the scan path
+    assert op.rows.shape[0] > 1024
+    X = np.random.default_rng(2).standard_normal((300, 4))
+    np.testing.assert_allclose(
+        np.asarray(small @ jnp.asarray(X)), np.asarray(op @ jnp.asarray(X)),
+        rtol=1e-12,
+    )
+
+
+def test_hyb_matches_scipy_and_spills():
+    from rbl_tpu.ops.spmm.coo import HybOperator
+
+    A = _skewed_sym(400, seed=7)
+    op = HybOperator.from_scipy(A)
+    assert op.coo.nnz > 0                      # the dense rows spilled
+    assert op.ell.cols.shape[0] < np.diff(A.indptr).max()  # ELL is capped
+    X = np.random.default_rng(3).standard_normal((400, 8))
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(X)), A @ X, rtol=1e-12)
+    assert abs(op.nnz - A.nnz) <= 0  # no entries lost or duplicated
+
+
+def test_hyb_no_spill_degenerates_to_ell():
+    from rbl_tpu.ops.spmm.coo import HybOperator
+
+    A = _random_sym(200, 0.05, seed=9)
+    op = HybOperator.from_scipy(A, quantile=1.0)
+    assert op.coo.nnz == 0
+    X = np.random.default_rng(4).standard_normal((200, 4))
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(X)), A @ X, rtol=1e-12)
+
+
+def test_as_operator_auto_selects_hyb_on_skew():
+    from rbl_tpu.ops.spmm.coo import HybOperator
+
+    op = rt.as_operator(_skewed_sym(400, seed=10))
+    assert isinstance(op, HybOperator)
+
+
+def test_hyb_solver_end_to_end():
+    import scipy.sparse.linalg as spla
+
+    A = _skewed_sym(500, seed=11)
+    op = rt.as_operator(A)
+    k = 6
+    D, V = rt.RBL(op, k, 4)
+    ref = spla.eigsh(A, k=k, which="LM", tol=0)[0]
+    ref = ref[np.argsort(-np.abs(ref))]
+    np.testing.assert_allclose(D, ref, rtol=1e-9)
+    resid = np.linalg.norm(A @ np.asarray(V) - np.asarray(V) * D[None, :], axis=0)
+    assert resid.max() < 1e-6 * np.abs(D).max()

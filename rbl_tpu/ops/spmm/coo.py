@@ -106,7 +106,11 @@ class CooOperator(LinearOperator):
         pad = (-len(rows)) % _NNZ_ALIGN
         if pad or len(rows) == 0:
             pad = pad or _NNZ_ALIGN
-            rows = np.concatenate([rows, np.zeros(pad, rows.dtype)])
+            # pad slots target row n-1 (zero contribution): appending them
+            # keeps the array ascending, which segment_sum's
+            # indices_are_sorted=True contract requires — row-0 padding
+            # after sorted rows would violate it
+            rows = np.concatenate([rows, np.full(pad, n - 1, rows.dtype)])
             cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
             vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
         return cls(
@@ -162,10 +166,10 @@ class HybOperator(LinearOperator):
         dtype = np.dtype(dtype or A.dtype)
         row_nnz = np.diff(A.indptr)
         L = max(int(np.quantile(row_nnz, quantile)), 1)
-        slot = np.concatenate(
-            [np.arange(c, dtype=np.int64) for c in row_nnz]
-        ) if A.nnz else np.zeros(0, np.int64)
         rows = np.repeat(np.arange(n, dtype=np.int64), row_nnz)
+        # slot l = position within row, vectorized (a per-row arange loop
+        # is O(n) interpreter time at n=10⁶)
+        slot = np.arange(A.nnz, dtype=np.int64) - A.indptr[rows]
         keep = slot < L
         ell_part = sp.csr_matrix(
             (A.data[keep], (rows[keep], A.indices[keep])), shape=A.shape

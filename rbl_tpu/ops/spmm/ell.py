@@ -68,9 +68,10 @@ class SparseEllOperator(LinearOperator):
         L = max(int(row_nnz.max()), 1)
         cols = np.tile(np.arange(n, dtype=np.int32), (L, 1))  # self-pad
         vals = np.zeros((L, n), dtype=np.dtype(dtype))
-        # scatter nonzeros into slot l = position within row
-        slot = np.concatenate([np.arange(c, dtype=np.int64) for c in row_nnz])
+        # scatter nonzeros into slot l = position within row, vectorized
+        # (a per-row arange loop is O(n) interpreter time at n=10⁶)
         rows = np.repeat(np.arange(n, dtype=np.int64), row_nnz)
+        slot = np.arange(A.nnz, dtype=np.int64) - A.indptr[rows]
         cols[slot, rows] = A.indices.astype(np.int32)
         vals[slot, rows] = A.data.astype(np.dtype(dtype))
         return cls(cols=jnp.asarray(cols), vals=jnp.asarray(vals), _n=n)

@@ -306,30 +306,45 @@ def _zero_cols_range(buf, lo, hi):
 
 
 @partial(jax.jit, static_argnames=("qr_method",))
-def _rerandomize_block(basis_buf, Qprev, key, qr_method):
-    """Breakdown recovery: replace a numerically rank-deficient residual
-    block with fresh random directions orthogonalized against the whole
-    basis.  The reference has no breakdown handling (SURVEY §5) — after an
-    invariant subspace converges, its QR renormalizes noise and re-injects
-    converged directions ("ghost" Ritz values), which can stall the
-    all-or-nothing convergence test.  Re-randomizing keeps the basis
-    orthonormal and the sweep productive; the (tiny) true B_i retained in T
-    keeps the Rayleigh–Ritz projection consistent.
+def _block_qr_jit(W, qr_method):
+    return block_qr(W, method=qr_method)
 
-    Projects ONLY against the kept state — basis + Q_i (= Qprev here).
+
+def _fresh_directions(store, extras, lock_basis, key, shape, dtype, qr_method):
+    """Breakdown recovery: fresh random directions orthogonalized (CGS2 +
+    QR) against the WHOLE stored state — device tier, host-offloaded
+    panels, lock set, and the given live ``extras`` blocks.  The reference
+    has no breakdown handling (SURVEY §5) — after an invariant subspace
+    converges, its QR renormalizes noise and re-injects converged
+    directions ("ghost" Ritz values), which can stall the all-or-nothing
+    convergence test.  Re-randomizing keeps the basis orthonormal and the
+    sweep productive.
+
+    The host tier and lock set must be included: a random block has
+    ~√(cols/n) expected overlap with any stored span, and a leak frozen in
+    here re-amplifies every subsequent step (locked |λ| exceed the active
+    window's — CLAUDE.md lock-leak invariant).  Breakdowns are rare, so
+    the per-pass H→D panel streaming cost is irrelevant.
+
+    ``extras`` must contain ONLY kept state (Q_i = the new Qprev).
     Projecting against the dead chunk-end block as well reinjects whatever
     polluted it: at breakdown that block IS renormalized rounding noise
     with an O(1) converged-direction component, and one such block in the
     basis makes the CGS projector non-contractive (duplicate directions →
     overshoot → geometric ‖B‖ runaway; measured on an f32 image Gram)."""
-    from ..ops.reorth import project_out
-
-    W = jax.random.normal(key, Qprev.shape, dtype=Qprev.dtype)
+    Z = jax.random.normal(key, shape, dtype=dtype)
     for _ in range(2):
-        W = project_out(basis_buf, W)
-        W = project_out(Qprev, W)
-        W, _ = block_qr(W, method=qr_method)
-    return W
+        Z = _project_out_jit(store.view(), Z)
+        for panel in store.host_tier():
+            Z = _project_out_jit(
+                jax.device_put(panel, store.buf.sharding), Z
+            )
+        if lock_basis is not None:
+            Z = _project_out_jit(lock_basis, Z)
+        for blk in extras:
+            Z = _project_out_jit(blk, Z)
+        Z, _ = _block_qr_jit(Z, qr_method)
+    return Z
 
 
 def _split_coupling(B_s: np.ndarray, r0: int):
@@ -351,8 +366,16 @@ def _split_coupling(B_s: np.ndarray, r0: int):
     return Pf, B_new
 
 
-@partial(jax.jit, static_argnames=("r0", "qr_method"))
-def _repair_partial_block(basis_buf, Qprev, Qold, P, key, *, r0, qr_method):
+@partial(jax.jit, static_argnames=("r0",))
+def _rotate_healthy(Qold, P, *, r0):
+    """The healthy part of a partially-collapsed block: (Q_old·P)[:, :r0]."""
+    Qrot = jnp.dot(
+        Qold, P.astype(Qold.dtype), preferred_element_type=_pet(Qold.dtype)
+    )
+    return Qrot[:, :r0]
+
+
+def _repair_partial_block(store, Qprev, Qold, P, lock_basis, key, *, r0, qr_method):
     """Partial-breakdown repair: the residual U = Q_old·B lost rank —
     σ_{r0+1..b}(B) sit at the breakdown floor while σ_{1..r0} are healthy.
     QR of a rank-deficient residual orthonormalizes ROUNDING NOISE into the
@@ -366,24 +389,16 @@ def _repair_partial_block(basis_buf, Qprev, Qold, P, key, *, r0, qr_method):
     Repair: rotate Q_old by B's left singular basis P so the honest
     residual directions U·W_r/σ_r = (Q_old·P)[:, :r0] land in the first r0
     columns — exactly preserved, keeping T ≡ QᵀAQ — and replace the dead
-    columns with fresh randomness orthogonalized against everything (CGS2
-    + QR, as in _rerandomize_block).  The honest coupling is Σ_r·W_rᵀ with
-    zero rows for the repaired columns (an exact deflation split, assembled
+    columns with fresh randomness orthogonalized against everything —
+    device tier, host panels, lock set, live blocks (CGS2 + QR via
+    _fresh_directions).  The honest coupling is Σ_r·W_rᵀ with zero rows
+    for the repaired columns (an exact deflation split, assembled
     host-side by the caller)."""
-    from ..ops.reorth import project_out
-
-    Qrot = jnp.dot(
-        Qold, P.astype(Qold.dtype), preferred_element_type=_pet(Qold.dtype)
+    H = _rotate_healthy(Qold, P, r0=r0)
+    Z = _fresh_directions(
+        store, (Qprev, H), lock_basis, key,
+        (Qold.shape[0], Qold.shape[1] - r0), Qold.dtype, qr_method,
     )
-    H = Qrot[:, :r0]
-    Z = jax.random.normal(
-        key, (Qold.shape[0], Qold.shape[1] - r0), dtype=Qold.dtype
-    )
-    for _ in range(2):
-        Z = project_out(basis_buf, Z)
-        Z = project_out(Qprev, Z)
-        Z = project_out(H, Z)
-        Z, _ = block_qr(Z, method=qr_method)
     return jnp.concatenate([H, Z], axis=1)
 
 
@@ -566,7 +581,7 @@ def lanczos_iteration(
         key, sub = jax.random.split(key)
         with timer.section("rerandomize"):
             Q2 = _repair_partial_block(
-                store.view(), Qprev, Qi, jnp.asarray(Pf0), sub,
+                store, Qprev, Qi, jnp.asarray(Pf0), lock_basis, sub,
                 r0=r0, qr_method=qr_method,
             )
         _dbg(f"partial breakdown at i=1: rank {r0}/{b} — repaired")
@@ -643,12 +658,23 @@ def lanczos_iteration(
                 buf, U, Ai0 = _split_step_recur(
                     op, store.buf, dev[0], dev[1], dev[2], col0_rel, cdt=cdt
                 )
+                # Panel-major, not pass-major: each host panel is
+                # transferred H→D once and projected npass times
+                # consecutively.  Pass-major (the textbook BCGS2 sweep
+                # order) would either re-transfer the whole host tier per
+                # pass or pin every panel in HBM at once — and the tier
+                # exists precisely because HBM is full.  Reordering is
+                # safe here because the panels are mutually orthonormal to
+                # basis precision: cross-panel re-injection from a later
+                # projection is O(‖QᵢᵀQⱼ‖·eps·‖U‖), far below the CGS2
+                # floor.
                 for _ in range(npass):
                     U = _project_out_jit(buf, U)
-                    for panel in store.host_tier():
-                        U = _project_out_jit(
-                            jax.device_put(panel, store.buf.sharding), U
-                        )
+                for panel in store.host_tier():
+                    pd = jax.device_put(panel, store.buf.sharding)
+                    for _ in range(npass):
+                        U = _project_out_jit(pd, U)
+                for _ in range(npass):
                     U = _project_out_jit(dev[0], U)
                 Q1, B1 = _split_step_qr(
                     U, lock_basis, qr_method=qr_method, bdt=dev[0].dtype
@@ -945,8 +971,9 @@ def lanczos_iteration(
             else:
                 key, sub = jax.random.split(key)
                 with timer.section("rerandomize"):
-                    Qi_new = _rerandomize_block(
-                        store.view(), Qprev, sub, qr_method=qr_method
+                    Qi_new = _fresh_directions(
+                        store, (Qprev,), lock_basis, sub,
+                        Qprev.shape, Qprev.dtype, qr_method,
                     )
                 # the honest coupling to the re-randomized block is zero —
                 # a deflation-style split, like the collapse path
@@ -969,8 +996,9 @@ def lanczos_iteration(
             rewind_to((i - 1) * b)
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):
-                Qi_new = _rerandomize_block(
-                    store.view(), Qprev, sub, qr_method=qr_method
+                Qi_new = _fresh_directions(
+                    store, (Qprev,), lock_basis, sub,
+                    Qprev.shape, Qprev.dtype, qr_method,
                 )
             dev = (Qi_new, Qprev, jnp.asarray(B_last))
             i_next = i + 1
@@ -1001,7 +1029,7 @@ def lanczos_iteration(
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):
                 Qnew = _repair_partial_block(
-                    store.view(), Qprev, Q_jp1, jnp.asarray(Pf), sub,
+                    store, Qprev, Q_jp1, jnp.asarray(Pf), lock_basis, sub,
                     r0=partial_rank, qr_method=qr_method,
                 )
             _dbg(

@@ -381,3 +381,56 @@ def test_basis_store_rewind_across_tiers():
     # appends continue cleanly
     store.append(jnp.asarray(blocks[0]))
     assert store.ncols == target_cols + b
+
+
+def test_fresh_directions_deflates_lock_and_host_tier():
+    """Breakdown re-randomization must orthogonalize the fresh block
+    against the FULL stored state: the host-offloaded panels and the lock
+    set, not just the device tier.  A leak frozen in here re-amplifies
+    every step (locked |λ| exceed the active window's), producing ghost
+    duplicates of already-locked eigenvalues."""
+    import jax
+
+    import rbl_tpu as rt
+    from rbl_tpu.solver.basis import BasisStore
+    from rbl_tpu.solver.lanczos import _fresh_directions
+
+    n, b, cap = 400, 4, 16
+    rng = np.random.default_rng(0)
+    Qfull, _ = np.linalg.qr(rng.standard_normal((n, 40 + 8 + b)))
+    store = BasisStore(n, b, max_cols=64, dtype=jnp.float64,
+                       device_cap_cols=cap)
+    for j in range(10):  # 40 columns > cap → offload kicks in
+        store.append(jnp.asarray(Qfull[:, j * b:(j + 1) * b]))
+    assert store.host_ncols > 0
+    lock = jnp.asarray(Qfull[:, 40:48])
+    Qprev = jnp.asarray(Qfull[:, 48:48 + b])
+    Z = _fresh_directions(store, (Qprev,), lock, jax.random.PRNGKey(1),
+                          (n, b), jnp.float64, "householder")
+    Zn = np.asarray(Z)
+    # orthonormal, and orthogonal to every stored span
+    assert np.abs(Zn.T @ Zn - np.eye(b)).max() < 1e-12
+    assert np.abs(Qfull[:, :48 + b].T @ Zn).max() < 1e-12
+
+
+def test_breakdown_with_host_offload_active():
+    """Breakdown AFTER the basis spilled to the host tier: the replacement
+    block must come out orthogonal to the offloaded panels too, or the
+    solve returns ghost duplicates."""
+    import rbl_tpu as rt
+
+    n = 500
+    nval = 40
+    d = np.zeros(n)
+    d[:nval] = np.linspace(100.0, 10.0, nval)  # rank-40 operator
+    b, cap = 4, 24
+    cfg = rt.RBLConfig(block_size=b, max_kryl_dim=96, eig_poll_cadence=4,
+                       basis_device_cap_cols=cap, tol=1e-12)
+    res = rt.rbl(d, 6, b, cfg=cfg)
+    np.testing.assert_allclose(
+        res.eigenvalues, d[:6], atol=1e-7 * d[0]
+    )
+    V = np.asarray(res.eigenvectors)
+    resid = np.linalg.norm(d[:, None] * V - V * res.eigenvalues[None, :],
+                           axis=0)
+    assert resid.max() < 1e-6 * d[0]

@@ -131,3 +131,83 @@ class ShardedEllSpMM(LinearOperator):
             in_specs=(P(None, self.axis), P(None, self.axis), P(self.axis, None)),
             out_specs=P(self.axis, None),
         )(self.cols, self.vals, X)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShardedCooSpMM(LinearOperator):
+    """Row-partitioned COO segment-sum SpMM: each device owns its row
+    band's nonzero triplets (row indices LOCAL to the band, padded to the
+    max per-device count so shapes are uniform), all-gathers the (n, b)
+    block over ICI, and reduces with one sorted ``segment_sum`` — the
+    skew-robust general distributed path (the single-device rationale is
+    in ops/spmm/coo.py; padding row-length-skewed matrices to ELL wastes
+    the skew factor in memory AND makes the per-device scan length the
+    GLOBAL max row length)."""
+
+    rows: jax.Array  # (ndev * nnz_shard,) int32 LOCAL row ids, sharded
+    cols: jax.Array  # (ndev * nnz_shard,) int32 global column ids
+    vals: jax.Array  # (ndev * nnz_shard,)
+    _n: int = static_field(default=0)
+    mesh: Mesh = static_field(default=None)
+    axis: str = static_field(default="rows")
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @classmethod
+    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
+        import numpy as np
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        ndev = mesh.shape[axis]
+        if n % ndev:
+            raise ValueError(f"n={n} not divisible by mesh axis size {ndev}")
+        nl = n // ndev
+        dtype = np.dtype(dtype or A.dtype)
+        shards = []
+        for d in range(ndev):
+            band = A[d * nl : (d + 1) * nl].tocoo()
+            order = np.argsort(band.row, kind="stable")
+            shards.append(
+                (band.row[order], band.col[order], band.data[order])
+            )
+        cap = max(max(len(s[0]) for s in shards), 1)
+        rows = np.full((ndev, cap), nl - 1, np.int32)  # pad: local last row,
+        cols = np.zeros((ndev, cap), np.int32)         # val 0 — keeps the
+        vals = np.zeros((ndev, cap), dtype)            # row array ascending
+        for d, (r, c, v) in enumerate(shards):
+            rows[d, : len(r)] = r
+            cols[d, : len(c)] = c
+            vals[d, : len(v)] = v.astype(dtype)
+        sh = NamedSharding(mesh, P(axis))
+        return cls(
+            rows=jax.device_put(rows.reshape(-1), sh),
+            cols=jax.device_put(cols.reshape(-1), sh),
+            vals=jax.device_put(vals.reshape(-1), sh),
+            _n=n, mesh=mesh, axis=axis,
+        )
+
+    def apply(self, X):
+        nl = self._n // self.mesh.shape[self.axis]
+
+        def local_apply(rows_l, cols_l, vals_l, x_local):
+            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+            contrib = vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
+            return jax.ops.segment_sum(
+                contrib, rows_l, num_segments=nl, indices_are_sorted=True
+            ).astype(x_local.dtype)
+
+        return jax.shard_map(
+            local_apply,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis, None)),
+            out_specs=P(self.axis, None),
+        )(self.rows, self.cols, self.vals, X)

@@ -26,6 +26,7 @@ _jax.config.update("jax_enable_x64", True)
 
 from .config import RBLConfig
 from .ops.spmm.operator import (
+    AffineOperator,
     DenseOperator,
     DiagonalOperator,
     GramOperator,
@@ -46,6 +47,7 @@ from .solver.svd import SVDResult, rbl_svd
 __all__ = [
     "RBLConfig",
     "LinearOperator",
+    "AffineOperator",
     "DiagonalOperator",
     "DenseOperator",
     "GramOperator",

@@ -19,8 +19,12 @@ common.jl:56-65).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import scipy.linalg
+
+import jax
 
 import jax.numpy as jnp
 
@@ -172,3 +176,30 @@ def check_convergence(Bi, V, b: int, k: int, tol: float) -> bool:
     residual bound (reference check_convergence, common.jl:56-65)."""
     bounds = ritz_residual_bounds(np.asarray(Bi), np.asarray(V[:, :k]), b)
     return bool(np.all(bounds <= tol))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _power_norm(op, key, iters: int):
+    v = jax.random.normal(key, (op.shape[0], 1), dtype=op.dtype)
+
+    def body(_, carry):
+        v, _ = carry
+        w = op.apply(v)
+        nrm = jnp.linalg.norm(w)
+        return w / nrm, nrm
+
+    v0 = v / jnp.linalg.norm(v)
+    _, nrm = jax.lax.fori_loop(
+        0, iters, body, (v0, jnp.zeros((), dtype=v.dtype))
+    )
+    return nrm
+
+
+def spectral_norm_bound(op, key, iters: int = 24, margin: float = 1.1) -> float:
+    """An upper estimate of ‖A‖₂ = |λ|max of a symmetric operator: power
+    iteration (a monotone UNDER-estimate converging geometrically in
+    |λ₂/λ₁|) times a safety margin.  Used to size the spectral shift for
+    ``which="LA"/"SA"`` solves — an overshoot only compresses relative
+    gaps by O(margin), while an undershoot could leave the wrong spectrum
+    end dominant."""
+    return margin * float(_power_norm(op, key, iters))

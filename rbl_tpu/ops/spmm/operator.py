@@ -148,6 +148,40 @@ class GramOperator(LinearOperator):
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
+class AffineOperator(LinearOperator):
+    """α·A + β·I of a base operator — the spectral-shift combinator behind
+    ``rbl(..., which="LA"/"SA")`` (solver/rbl.py): shifting by β ≥ ‖A‖₂
+    moves the algebraic extreme of the spectrum to the magnitude extreme,
+    which is what Lanczos converges to.  α and β are 0-d arrays (pytree
+    leaves), so different shifts reuse the same compiled solver."""
+
+    base: LinearOperator
+    alpha: jax.Array  # 0-d scalar
+    beta: jax.Array   # 0-d scalar
+
+    @classmethod
+    def shift(cls, base, alpha: float, beta: float):
+        dt = base.dtype
+        return cls(
+            base=base,
+            alpha=jnp.asarray(alpha, dtype=dt),
+            beta=jnp.asarray(beta, dtype=dt),
+        )
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def apply(self, X):
+        return self.alpha * self.base.apply(X) + self.beta * X
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
 class Laplacian2D(LinearOperator):
     """Matrix-free 5-point 2D Laplacian stencil on an nx×ny grid
     (Dirichlet).  n = nx*ny.  TPU-native 'sparse' operator: the stencil is

@@ -39,17 +39,26 @@ def rbl(
     b: Optional[int] = None,
     cfg: Optional[RBLConfig] = None,
     compute_eigenvectors: bool = True,
+    which: str = "LM",
     timer=None,
 ) -> LanczosResult:
-    """Compute the k largest-magnitude eigenpairs of the symmetric operator A
-    with randomized block Lanczos.
+    """Compute k eigenpairs of the symmetric operator A with randomized
+    block Lanczos.
 
     Parameters mirror the reference's ``RBL(A, k, b) -> (D, V)``
     (RBL.jl:119-142): A may be a LinearOperator, dense/diagonal array, or
     scipy sparse matrix; k is the number of eigenpairs; b the block size.
 
-    Returns a LanczosResult with eigenvalues sorted descending by |λ| and
-    (optionally) the matching Ritz vectors.
+    which selects the spectrum end (beyond reference parity — the
+    reference is LM-only, benchmark.jl:42):
+      "LM" (default) — largest magnitude; eigenvalues descending by |λ|.
+      "LA" — largest algebraic, descending; solved as LM of A + sI.
+      "SA" — smallest algebraic, ascending; solved as LM of sI − A.
+    For LA/SA the shift s ≥ ‖A‖₂ comes from a power-method bound, and the
+    residual tolerance is relative to ‖A ± sI‖ ≈ 2‖A‖ (a factor ≈2 looser
+    than the LM semantics).
+
+    Returns a LanczosResult with (optionally) the matching Ritz vectors.
     """
     cfg = cfg or RBLConfig()
     if b is not None:
@@ -59,13 +68,32 @@ def rbl(
     n = op.n
     if not (0 < k <= n):
         raise ValueError(f"k={k} out of range for n={n}")
+    which = which.upper()
+    if which not in ("LM", "LA", "SA"):
+        raise ValueError(f"which={which!r} not in ('LM', 'LA', 'SA')")
 
     # TPU f32 matmuls default to bf16 input precision (MXU) — percent-level
     # reorth residue that runs the sweep away on long solves; "highest"
     # emulates true f32 (the reference's CUBLAS numerics).  Bound at trace
     # time; part of jit cache keys; no-op on CPU/f64.
     with jax.default_matmul_precision(cfg.matmul_precision):
-        return _rbl_impl(op, k, cfg, compute_eigenvectors, timer)
+        shift = 0.0
+        if which != "LM":
+            from ..ops.eig import spectral_norm_bound
+            from ..ops.spmm.operator import AffineOperator
+
+            shift = spectral_norm_bound(op, jax.random.PRNGKey(cfg.seed + 1))
+            op = AffineOperator.shift(
+                op, 1.0 if which == "LA" else -1.0, shift
+            )
+        res = _rbl_impl(op, k, cfg, compute_eigenvectors, timer)
+        if which == "LA":
+            res.eigenvalues = res.eigenvalues - shift
+        elif which == "SA":
+            # θ descending ↦ λ = s − θ ascending (natural SA order); the
+            # vectors and residual norms are shift-invariant
+            res.eigenvalues = shift - res.eigenvalues
+        return res
 
 
 def _rbl_impl(op, k, cfg, compute_eigenvectors, timer):

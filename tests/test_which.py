@@ -1,0 +1,52 @@
+"""which="LA"/"SA" — algebraic spectrum ends via spectral shift.
+
+Beyond reference parity (the reference solves LM only, benchmark.jl:42):
+rbl() shifts by a power-method bound s ≥ ‖A‖₂ (AffineOperator) so the
+requested algebraic end becomes the magnitude end, then maps θ back."""
+
+import numpy as np
+import pytest
+
+import rbl_tpu as rt
+
+
+def test_la_on_sign_mixed_diagonal():
+    """LM would return the -50 end; LA must return the +10 end."""
+    d = np.linspace(-50.0, 10.0, 400)
+    res = rt.rbl(d, 5, 4, which="LA")
+    np.testing.assert_allclose(res.eigenvalues, np.sort(d)[::-1][:5],
+                               rtol=1e-9)
+    lm = rt.rbl(d, 5, 4)  # sanity: default really is the other end
+    np.testing.assert_allclose(lm.eigenvalues[0], -50.0, rtol=1e-9)
+
+
+def test_sa_laplacian_smallest_modes():
+    """Smallest 2D Dirichlet Laplacian modes (the Fiedler-vector use case),
+    ascending, with honest eigenvector residuals."""
+    nx = 24
+    op = rt.Laplacian2D(nx=nx, ny=nx)
+    res = rt.rbl(op, 6, 4, which="SA")
+    ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    lam = np.sort(np.add.outer(ev1, ev1).ravel())[:6]
+    np.testing.assert_allclose(res.eigenvalues, lam, rtol=1e-8)
+    V = np.asarray(res.eigenvectors)
+    AV = np.asarray(op.apply(res.eigenvectors))
+    resid = np.linalg.norm(AV - V * res.eigenvalues[None, :], axis=0)
+    assert resid.max() < 1e-6 * np.abs(lam).max() + 1e-8
+
+
+def test_sa_matches_eigsh_sparse():
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(0)
+    M = sp.random(500, 500, density=0.02, random_state=1)
+    A = sp.csr_matrix(M + M.T)
+    res = rt.rbl(A, 5, 4, which="SA")
+    ref = np.sort(spla.eigsh(A, k=5, which="SA", tol=0)[0])
+    np.testing.assert_allclose(res.eigenvalues, ref, rtol=1e-8)
+
+
+def test_which_validation():
+    with pytest.raises(ValueError):
+        rt.rbl(np.ones(10), 2, 2, which="BE")

@@ -50,12 +50,34 @@ def run(timed: bool):
 # The reference publishes no timings (BASELINE.md).  The recorded baseline is
 # a reference-shaped loop (per-iteration host↔device sync for T assembly,
 # per-block reorth GEMMs — the structure of RBL_gpu.jl:134-203) run on THIS
-# hardware with identical numerics: 8.05 s for the same solve (BENCHMARKS.md).
+# hardware with identical numerics: 8.05 s for the same solve (BENCHMARKS.md;
+# the loop itself is committed as benchmarks/baseline_loop.py).  Set
+# RBL_BENCH_BASELINE=1 to re-measure it in-session instead of trusting the
+# recorded number through tunnel drift (adds ~2 baseline solves + compiles).
 _REFERENCE_SHAPED_LOOP_S = 8.05
 
 
 def main():
+    import os
+
     import numpy as np
+
+    baseline_s = _REFERENCE_SHAPED_LOOP_S
+    measured_baseline = None
+    if os.environ.get("RBL_BENCH_BASELINE"):
+        import jax.numpy as jnp
+
+        import rbl_tpu as rt
+        from benchmarks.baseline_loop import reference_shaped_solve
+
+        op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
+        reference_shaped_solve(op, 50, 8)  # warm-up epoch
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reference_shaped_solve(op, 50, 8)
+            times.append(time.perf_counter() - t0)
+        measured_baseline = baseline_s = min(times)
 
     run(timed=False)  # warm the compile caches
     best = None
@@ -72,17 +94,16 @@ def main():
     lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(res.eigenvalues)]
     max_rel = float(np.max(np.abs(res.eigenvalues - lam) / lam))
     assert max_rel < 0.05, f"headline eigenvalues off by {max_rel:.3f}"
-    print(
-        json.dumps(
-            {
-                "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8_f32",
-                "value": round(dt, 3),
-                "unit": "s",
-                "vs_baseline": round(_REFERENCE_SHAPED_LOOP_S / dt, 2),
-                "max_rel_err": round(max_rel, 6),
-            }
-        )
-    )
+    out = {
+        "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8_f32",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / dt, 2),
+        "max_rel_err": round(max_rel, 6),
+    }
+    if measured_baseline is not None:
+        out["baseline_measured_s"] = round(measured_baseline, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

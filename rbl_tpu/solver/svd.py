@@ -85,6 +85,15 @@ def rbl_svd(
     if not (0 < k <= min(m, n)):
         raise ValueError(f"k={k} out of range for shape {Bd.shape}")
     left = m < n  # solve the smaller Gram side
+    if cfg.mesh is not None:
+        # Shard B over the Gram dimension (the solver's row axis): the
+        # inner contraction BᵀX / BX then reduces over the sharded axis
+        # and GSPMD inserts the psum — the n×n (or m×m) Gram operator
+        # rides the mesh exactly like an explicit row-partitioned A.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(cfg.rows_axis, None) if left else P(None, cfg.rows_axis)
+        Bd = jax.device_put(Bd, NamedSharding(cfg.mesh, spec))
     op = GramOperator(B=Bd, left=left)
     res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
 

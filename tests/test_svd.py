@@ -82,3 +82,15 @@ def test_svd_scipy_sparse_input():
     s_true = np.linalg.svd(B, compute_uv=False)
     res = rt.rbl_svd(sp.csr_matrix(B), 5, b=5)
     np.testing.assert_allclose(res.s, s_true[:5], rtol=1e-9)
+
+
+def test_svd_sharded_mesh_matches_single_device():
+    """rbl_svd over an 8-device row mesh: B sharded on the Gram dimension,
+    Gram contractions psum-reduced by GSPMD; results must match the
+    unsharded solve."""
+    from rbl_tpu.parallel.mesh import make_row_mesh
+
+    B, s_true = _make_B(256, 96, seed=7)
+    mesh = make_row_mesh(8)
+    res = rt.rbl_svd(B, 6, b=4, cfg=rt.RBLConfig(mesh=mesh, block_size=4))
+    _check(B, s_true, res, 6)

@@ -130,6 +130,31 @@ def main():
             dt = time_apply(op, X, args.reps)
             rows.append((name, dt, A.nnz / dt / 1e9))
 
+        # skewed row-length problem (mean ~16 nnz/row, 8 half-dense rows):
+        # pure ELL pads every row to n/2 — HYB caps the scan at the
+        # typical row length and spills the heavy rows to COO.  Built from
+        # triplets: sp.random at this n samples without replacement from
+        # n² and takes minutes.
+        bulk = 8 * n
+        heavy = rng.choice(n, 8, replace=False)
+        hr = np.repeat(heavy, n // 2)
+        hc = rng.integers(0, n, hr.size)
+        r_ = np.concatenate([rng.integers(0, n, bulk), hr])
+        c_ = np.concatenate([rng.integers(0, n, bulk), hc])
+        v_ = rng.standard_normal(r_.size)
+        S = sp.coo_matrix((v_, (r_, c_)), shape=(n, n))
+        S = ((S + S.T) * 0.5).tocsr().astype(np.float32)
+        from rbl_tpu.ops.spmm.coo import CooOperator, HybOperator
+
+        for name, mk in [
+            ("hyb", lambda: HybOperator.from_scipy(S, dtype=np.float32)),
+            ("coo-segsum", lambda: CooOperator.from_scipy(S, dtype=np.float32)),
+            # ell-scan on this matrix would allocate 2·n·(n/2)·4B — skipped
+        ]:
+            op = mk()
+            dt = time_apply(op, X, args.reps)
+            rows.append((f"{name}(skew)", dt, S.nnz / dt / 1e9))
+
     print(f"backend={jax.default_backend()}  n={n}  b={b}")
     print(f"{'format':>12} {'ms':>9} {'Gnnz/s':>8}")
     for name, dt, gnnz in rows:

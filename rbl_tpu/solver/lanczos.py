@@ -402,6 +402,27 @@ def _repair_partial_block(store, Qprev, Qold, P, lock_basis, key, *, r0, qr_meth
     return jnp.concatenate([H, Z], axis=1)
 
 
+def _repair_block(store, Qprev, Qold, B_s, rank, lock_basis, key, qr_method):
+    """Dispatch a rank-``rank`` coupling-block repair: rank ≥ 1 keeps the
+    healthy singular directions (_repair_partial_block); rank == 0 — every
+    σ at the rounding floor while ‖B‖ passed the max-entry test (reachable
+    when the ACTIVE scale sits far below tscale) — degenerates to full
+    re-randomization with a zero coupling, exactly the total-collapse
+    treatment.  Returns (Q_new, B_new host array)."""
+    if rank == 0:
+        Qnew = _fresh_directions(
+            store, (Qprev,), lock_basis, key,
+            Qprev.shape, Qprev.dtype, qr_method,
+        )
+        return Qnew, np.zeros_like(B_s)
+    Pf, B_new = _split_coupling(B_s, rank)
+    Qnew = _repair_partial_block(
+        store, Qprev, Qold, jnp.asarray(Pf), lock_basis, key,
+        r0=rank, qr_method=qr_method,
+    )
+    return Qnew, B_new
+
+
 @partial(jax.jit, static_argnames=("cdt",))
 def _rayleigh_refine(op: LinearOperator, X, theta0, cdt):
     """Shifted Rayleigh-quotient refinement of converged Ritz values:
@@ -571,18 +592,25 @@ def lanczos_iteration(
     # freezes the locked value at its current error (measured 2e-5 on the
     # moderate-decay restart suite).  Between the two levels the coupling
     # is honest but ghost-prone — danger-mode reorth, no discard.
+    if not np.all(np.isfinite(AB0)):
+        # same numerical-health diagnostic the chunk loop raises — without
+        # this, the SVD below would fail first with an unhelpful
+        # "SVD did not converge" on non-finite step-1 output
+        raise FloatingPointError(
+            "non-finite T blocks at iteration 1 — operator output or "
+            "precision configuration is unstable "
+            f"(basis_dtype={cfg.basis_dtype}, compute_dtype={cfg.compute_dtype})"
+        )
     sv0 = np.linalg.svd(AB0[1], compute_uv=False)
     thr0 = 100.0 * eps * max(tscale, np.finfo(np.float64).tiny)
     if thr0 <= sv0[-1] < np.sqrt(eps) * tscale:
         danger = True
     if sv0[-1] < thr0:
-        r0 = int(np.sum(sv0 >= thr0))
-        Pf0, B_new0 = _split_coupling(AB0[1], r0)
+        r0 = int(np.sum(sv0 >= thr0))  # may be 0: all σ at the floor
         key, sub = jax.random.split(key)
         with timer.section("rerandomize"):
-            Q2 = _repair_partial_block(
-                store, Qprev, Qi, jnp.asarray(Pf0), lock_basis, sub,
-                r0=r0, qr_method=qr_method,
+            Q2, B_new0 = _repair_block(
+                store, Qprev, Qi, AB0[1], r0, lock_basis, sub, qr_method
             )
         _dbg(f"partial breakdown at i=1: rank {r0}/{b} — repaired")
         T.set_subdiag(B_new0, 0)
@@ -899,7 +927,11 @@ def lanczos_iteration(
                 # columns (see _repair_partial_block).  Steps after s
                 # consumed the poisoned block.
                 partial_at = s
-                partial_rank = int(np.sum(B_svals >= rank_thr))  # ≥ 1
+                # may be 0 (all σ at the floor while ‖B‖ passes the
+                # max-entry test — reachable when the active scale sits
+                # far below tscale): _repair_block then degenerates to
+                # full re-randomization
+                partial_rank = int(np.sum(B_svals >= rank_thr))
                 break
             if (
                 not selective
@@ -1025,12 +1057,11 @@ def lanczos_iteration(
             rewind_to((i - 1) * b)
             Qprev = Q_j
             B_s = TB[2 * s + 1]
-            Pf, B_new = _split_coupling(B_s, partial_rank)
             key, sub = jax.random.split(key)
             with timer.section("rerandomize"):
-                Qnew = _repair_partial_block(
-                    store, Qprev, Q_jp1, jnp.asarray(Pf), lock_basis, sub,
-                    r0=partial_rank, qr_method=qr_method,
+                Qnew, B_new = _repair_block(
+                    store, Qprev, Q_jp1, B_s, partial_rank, lock_basis,
+                    sub, qr_method,
                 )
             _dbg(
                 f"partial breakdown at i={i}: rank {partial_rank}/{b} "
@@ -1093,6 +1124,16 @@ def lanczos_iteration(
         # nearly-converged interior direction — its coupling stays in T,
         # but its ghost re-amplifies like any converged direction, and the
         # max-entry min_B test below cannot see it inside a healthy block.
+        # NB the danger mode this triggers persists for as long as some
+        # σ_min stays in the band — DELIBERATELY: the calm exit below IS a
+        # σ_min-recovery test (three consecutive chunks must clear this
+        # threshold), and under every-step CGS2 a residual that still has
+        # unexplored spectrum to draw on recovers full rank within a chunk
+        # or two.  If σ_min never recovers, the interior direction keeps
+        # re-converging and the escalated reorth is genuinely needed for
+        # the rest of the sweep — the chunk-growth/pipeline cost of that
+        # (measured 2.3×-class on gap spectra) is the price of a basis
+        # that stays orthonormal.
         sv_ghostly = chunk_min_sv < np.sqrt(eps) * max(
             chunk_scale, tscale * eps
         )

@@ -25,6 +25,7 @@ images.jl does (it keeps Float64 throughout).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Optional
 
 import numpy as np
@@ -39,14 +40,12 @@ from ..ops.spmm.operator import GramOperator, _pet
 @dataclasses.dataclass
 class SVDResult:
     U: jax.Array            # (m, k) left singular vectors
-    s: np.ndarray           # (k,) singular values, descending
+    s: np.ndarray           # (k,) singular values, descending; entries at
+    #                         the normal-equations noise floor clamped to 0
     V: jax.Array            # (n, k) right singular vectors
     iterations: int
     kryl_dim: int
     converged: bool
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("transpose",))
@@ -108,7 +107,15 @@ def rbl_svd(
     floor = np.sqrt(eps * max(m, n)) * max(
         sigma[0] if len(sigma) else 0.0, np.finfo(np.float64).tiny
     )
-    W = res.eigenvectors
+    # Honor the documented contract: σ at/below the floor clamp to 0, and
+    # s comes back descending.  Without the re-sort a tiny negative Ritz
+    # value (→ σ = 0) can precede a tinier positive one under the solver's
+    # |λ| ordering, breaking callers that truncate at the first
+    # below-threshold entry.
+    sigma = np.where(sigma > floor, sigma, 0.0)
+    order = np.argsort(-sigma, kind="stable")
+    sigma = sigma[order]
+    W = jnp.take(res.eigenvectors, jnp.asarray(order), axis=1)
     sj = jnp.asarray(sigma, dtype=Bd.dtype)
     # left (m<n): W = U, recover V = Bᵀ·U/σ; else W = V, recover U = B·V/σ
     X = _cross_recover(Bd, W, sj, floor, transpose=left)

@@ -434,3 +434,47 @@ def test_breakdown_with_host_offload_active():
     resid = np.linalg.norm(d[:, None] * V - V * res.eigenvalues[None, :],
                            axis=0)
     assert resid.max() < 1e-6 * d[0]
+
+
+def test_partial_breakdown_midsweep_repair():
+    """A rank-11 operator with b=4: the third coupling block keeps 3
+    healthy singular directions and loses 1 to the rounding floor while
+    ‖B‖ stays O(‖A‖) — the partial-repair path (σ_min scan) must catch it
+    and the solve must return exact eigenvalues (RBL_DEBUG shows
+    'partial breakdown at i=2: rank 3/4')."""
+    import rbl_tpu as rt
+
+    n = 300
+    d = np.zeros(n)
+    d[:11] = np.linspace(100.0, 50.0, 11)
+    cfg = rt.RBLConfig(block_size=4, max_kryl_dim=64, eig_poll_cadence=4)
+    res = rt.rbl(d, 8, 4, cfg=cfg)
+    np.testing.assert_allclose(res.eigenvalues, d[:8], atol=1e-7)
+
+
+def test_repair_block_rank_zero():
+    """rank == 0 (every σ at the floor while the max-entry test passed):
+    _repair_block must degenerate to full re-randomization with a zero
+    coupling — fresh orthonormal block, orthogonal to the stored state."""
+    import jax
+
+    from rbl_tpu.solver.basis import BasisStore
+    from rbl_tpu.solver.lanczos import _repair_block
+
+    n, b = 200, 4
+    rng = np.random.default_rng(0)
+    Qfull, _ = np.linalg.qr(rng.standard_normal((n, 3 * b)))
+    store = BasisStore(n, b, max_cols=8 * b, dtype=jnp.float64)
+    store.append(jnp.asarray(Qfull[:, :b]))
+    Qprev = jnp.asarray(Qfull[:, b:2 * b])
+    Qold = jnp.asarray(Qfull[:, 2 * b:3 * b])
+    B_s = np.full((b, b), 1e-18)
+    Qnew, B_new = _repair_block(
+        store, Qprev, Qold, B_s, 0, None, jax.random.PRNGKey(0),
+        "householder",
+    )
+    assert np.all(B_new == 0.0)
+    Z = np.asarray(Qnew)
+    assert np.abs(Z.T @ Z - np.eye(b)).max() < 1e-12
+    assert np.abs(np.asarray(store.view()).T @ Z).max() < 1e-12
+    assert np.abs(np.asarray(Qprev).T @ Z).max() < 1e-12

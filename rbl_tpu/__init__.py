@@ -11,6 +11,9 @@ Public surface (reference parity, SURVEY §1 L4):
   rbl / RBL                — RBL(A, k, b)            (RBL.jl:119)
   rbl_restarted / RBL_restarted — restarted+deflated  (restarted.jl:97,196)
   rbl_svd                  — truncated SVD via the Gram operator (images.jl:21-25)
+  eigsh / svds             — scipy.sparse.linalg-compatible shims (the
+                             reference's ARPACK comparison surface,
+                             benchmark.jl:42 / images.jl:37-42)
   RBLConfig                — every knob the reference hardcodes
   operators                — DiagonalOperator, DenseOperator, SparseEllOperator,
                              DiaOperator, BlockSparseOperator (Pallas BSR),
@@ -43,6 +46,7 @@ from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, rbl
 from .solver.restarted import RBL_restarted, rbl_restarted
 from .solver.svd import SVDResult, rbl_svd
+from .compat import eigsh, svds
 
 __all__ = [
     "RBLConfig",
@@ -66,6 +70,8 @@ __all__ = [
     "RBL_restarted",
     "rbl_svd",
     "SVDResult",
+    "eigsh",
+    "svds",
 ]
 
 __version__ = "0.1.0"

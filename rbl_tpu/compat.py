@@ -1,0 +1,153 @@
+"""scipy.sparse.linalg-compatible shims: ``eigsh`` and ``svds``.
+
+The reference validates itself against ARPACK through this exact surface —
+``eigs(A, nev=100, tol=1e-7, which=:LM)`` at benchmark.jl:42 and
+``svds(B, nsv=k)`` at images.jl:37-42.  A user migrating from the reference
+(or from scipy/ARPACK directly) can keep their call sites: these wrappers
+accept the scipy signatures and return results in scipy's conventions
+(eigenvalues in ascending algebraic order for ``eigsh``; singular values
+ascending for ``svds``), delegating to the TPU-native randomized block
+Lanczos solver.
+
+Differences from ARPACK, stated rather than hidden:
+
+- The algorithm is *randomized block* Lanczos: ``v0`` seeds only the first
+  column of the n×b sampling block Ω (the rest stay PRNG-drawn from
+  ``cfg.seed``), and ``ncv`` maps onto the Krylov-dimension cap.
+- ``maxiter`` (ARPACK's implicit-restart count) has no analogue in the
+  non-restarted sweep and is ignored; use ``rbl_restarted`` for an
+  explicitly restarted solve.
+- ``tol`` is the Ritz-pair residual-bound tolerance ‖A·x − θx‖ (the
+  reference's absolute semantics, RBL.jl:109); scipy's ``tol=0``
+  ("machine precision") maps to the solver default 1e-7 — the exact
+  tolerance the reference uses for its own ARPACK comparison.
+- Shift-invert (``sigma``), generalized problems (``M``), and the
+  ``which`` modes needing them ("SM", "BE", "LI"/"SI", "SR"/"LR") are not
+  implemented — matching the reference, which is LM-only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from .config import RBLConfig
+
+
+def _default_block(k: int) -> int:
+    # the reference benchmarks b ∈ {1,2,4,8} at k=100 (benchmark.jl:29-36)
+    # and larger blocks amortize both MXU width and per-chunk dispatch cost;
+    # 8 is the measured sweet spot for k ≳ 16 (BENCHMARKS.md block sweep)
+    return 8 if k >= 16 else max(4, min(8, k))
+
+
+def eigsh(
+    A: Any,
+    k: int = 6,
+    M: Any = None,
+    sigma: Optional[float] = None,
+    which: str = "LM",
+    v0: Optional[np.ndarray] = None,
+    ncv: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    tol: float = 0,
+    return_eigenvectors: bool = True,
+    mode: str = "normal",
+    cfg: Optional[RBLConfig] = None,
+    b: Optional[int] = None,
+):
+    """Drop-in ``scipy.sparse.linalg.eigsh`` replacement backed by ``rbl``.
+
+    Returns ``(w, v)`` with ``w`` in ascending algebraic order (scipy's
+    convention) — or just ``w`` when ``return_eigenvectors=False``.
+    Supported ``which``: "LM", "LA", "SA".  See the module docstring for
+    the ARPACK-semantics differences.
+    """
+    from .solver.rbl import rbl
+
+    if M is not None:
+        raise NotImplementedError(
+            "generalized eigenproblems (M != None) are not supported"
+        )
+    if sigma is not None:
+        raise NotImplementedError(
+            "shift-invert (sigma != None) is not supported — the randomized "
+            "block Lanczos solver targets exterior eigenvalues directly "
+            "(which='LM'/'LA'/'SA')"
+        )
+    which = which.upper()
+    if which not in ("LM", "LA", "SA"):
+        raise NotImplementedError(
+            f"which={which!r} not supported (LM/LA/SA are; SM/BE need "
+            "shift-invert)"
+        )
+    cfg = cfg or RBLConfig()
+    if tol and tol > 0:
+        cfg = cfg.replace(tol=float(tol))
+    if ncv is not None:
+        if ncv <= k:
+            raise ValueError(f"ncv={ncv} must exceed k={k}")
+        cfg = cfg.replace(max_kryl_dim=int(ncv))
+    bsz = b or _default_block(k)
+
+    res = rbl(
+        A, k, b=bsz, cfg=cfg, which=which,
+        compute_eigenvectors=return_eigenvectors, v0=v0,
+    )
+    w = np.asarray(res.eigenvalues, dtype=np.float64)
+    order = np.argsort(w, kind="stable")  # scipy: ascending algebraic
+    w = w[order]
+    if not return_eigenvectors:
+        return w
+    V = np.asarray(res.eigenvectors)[:, order]
+    return w, V
+
+
+def svds(
+    A: Any,
+    k: int = 6,
+    ncv: Optional[int] = None,
+    tol: float = 0,
+    which: str = "LM",
+    v0: Optional[np.ndarray] = None,
+    maxiter: Optional[int] = None,
+    return_singular_vectors: bool = True,
+    solver: Optional[str] = None,
+    random_state: Optional[int] = None,
+    cfg: Optional[RBLConfig] = None,
+    b: Optional[int] = None,
+):
+    """Drop-in ``scipy.sparse.linalg.svds`` replacement backed by
+    ``rbl_svd`` (the reference's images.jl:37-42 comparison surface).
+
+    Returns ``(u, s, vh)`` with ``s`` ASCENDING (scipy's convention; note
+    ``rbl_svd`` itself returns descending) — or just ``s`` when
+    ``return_singular_vectors=False``.  Only ``which="LM"`` is meaningful
+    for a truncated SVD and it is the only mode supported.
+    """
+    from .solver.svd import rbl_svd
+
+    if which.upper() != "LM":
+        raise NotImplementedError(
+            f"which={which!r} not supported — truncated SVD targets the "
+            "largest singular values (LM)"
+        )
+    cfg = cfg or RBLConfig()
+    if tol and tol > 0:
+        cfg = cfg.replace(tol=float(tol))
+    if ncv is not None:
+        if ncv <= k:
+            raise ValueError(f"ncv={ncv} must exceed k={k}")
+        cfg = cfg.replace(max_kryl_dim=int(ncv))
+    if random_state is not None:
+        cfg = cfg.replace(seed=int(random_state))
+
+    res = rbl_svd(A, k, b=b or _default_block(k), cfg=cfg)
+    order = np.argsort(res.s, kind="stable")  # ascending, scipy-style
+    s = np.asarray(res.s)[order]
+    if not return_singular_vectors:
+        return s
+    U = np.asarray(res.U)[:, order]
+    Vh = np.asarray(res.V)[:, order].T
+    return U, s, Vh

@@ -485,8 +485,13 @@ def recover_eigvec(store: BasisStore, Vk: np.ndarray) -> jax.Array:
 @partial(
     jax.jit, static_argnames=("b", "cdt", "bdt", "qr_method", "sharding")
 )
-def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding):
+def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding,
+                 v0=None):
     Omega = jax.random.normal(key, (op.n, b), dtype=cdt)
+    if v0 is not None:
+        # user-supplied starting direction (scipy eigsh's v0): it seeds the
+        # first column of Ω; the remaining b−1 columns stay random
+        Omega = Omega.at[:, 0].set(v0.astype(cdt))
     if sharding is not None:
         Omega = jax.lax.with_sharding_constraint(Omega, sharding)
     Y = op.apply(Omega)
@@ -495,15 +500,16 @@ def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding):
 
 
 def random_start_block(op: LinearOperator, key, b: int, cfg: RBLConfig,
-                       sharding=None):
+                       sharding=None, v0=None):
     """Randomized start: Q₁ = qr(A·Ω).Q with Ω ~ N(0,1)ⁿˣᵇ (reference
     RBL.jl:136-137 — note the single power-iteration step A·Ω).  One jitted
     dispatch: run eagerly, each op is a separate round-trip on a
-    remote-attached backend (~0.6 s measured for this one function)."""
+    remote-attached backend (~0.6 s measured for this one function).
+    ``v0`` optionally seeds Ω's first column (scipy-compat surface)."""
     return _start_block(
         op, key, b=b, cdt=jnp.dtype(cfg.compute_dtype),
         bdt=jnp.dtype(cfg.basis_dtype),
-        qr_method=cfg.resolved_qr_method(), sharding=sharding,
+        qr_method=cfg.resolved_qr_method(), sharding=sharding, v0=v0,
     )
 
 

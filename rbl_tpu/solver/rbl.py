@@ -41,6 +41,7 @@ def rbl(
     compute_eigenvectors: bool = True,
     which: str = "LM",
     timer=None,
+    v0=None,
 ) -> LanczosResult:
     """Compute k eigenpairs of the symmetric operator A with randomized
     block Lanczos.
@@ -57,6 +58,10 @@ def rbl(
     For LA/SA the shift s ≥ ‖A‖₂ comes from a power-method bound, and the
     residual tolerance is relative to ‖A ± sI‖ ≈ 2‖A‖ (a factor ≈2 looser
     than the LM semantics).
+
+    v0 optionally seeds the first column of the random sampling block Ω
+    (the scipy ``eigsh(v0=...)`` surface); the other b−1 columns stay
+    random.
 
     Returns a LanczosResult with (optionally) the matching Ritz vectors.
     """
@@ -86,7 +91,7 @@ def rbl(
             op = AffineOperator.shift(
                 op, 1.0 if which == "LA" else -1.0, shift
             )
-        res = _rbl_impl(op, k, cfg, compute_eigenvectors, timer)
+        res = _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=v0)
         if which == "LA":
             res.eigenvalues = res.eigenvalues - shift
         elif which == "SA":
@@ -96,10 +101,14 @@ def rbl(
         return res
 
 
-def _rbl_impl(op, k, cfg, compute_eigenvectors, timer):
+def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
     b = cfg.block_size
     n = op.n
     sharding = _row_sharding(cfg)
+    if v0 is not None:
+        v0 = jnp.asarray(v0).reshape(-1)
+        if v0.shape[0] != n:
+            raise ValueError(f"v0 has length {v0.shape[0]}, expected {n}")
     max_kryl = clamp_kryl_dim(
         cfg.max_kryl_dim, n, b, cfg.basis_dtype, cfg.compute_dtype,
         n_devices=(cfg.mesh.devices.size if cfg.mesh is not None else 1),
@@ -108,7 +117,7 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer):
     cfg = cfg.replace(max_kryl_dim=max_kryl)
 
     key = jax.random.PRNGKey(cfg.seed)
-    Qi = random_start_block(op, key, b, cfg, sharding=sharding)
+    Qi = random_start_block(op, key, b, cfg, sharding=sharding, v0=v0)
     store = BasisStore(
         n, b, max_cols=max_kryl + b, dtype=cfg.basis_dtype,
         init_cols=cfg.min_basis_cols, sharding=sharding,

@@ -1,0 +1,115 @@
+"""scipy.sparse.linalg-compat surface (rbl_tpu/compat.py): the migration
+path for reference users — benchmark.jl:42 validates against ARPACK `eigs`
+and images.jl:37-42 against `svds` through exactly these signatures."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as sla
+
+import rbl_tpu as rt
+
+
+def _sym_sparse(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=0.02, random_state=rng)
+    A = sp.csr_matrix(A + A.T)
+    A.setdiag(rng.standard_normal(n))
+    return A
+
+
+class TestEigsh:
+    def test_matches_scipy_lm(self):
+        A = _sym_sparse()
+        w, V = rt.eigsh(A, k=6, tol=1e-9)
+        w_ref = sla.eigsh(A, k=6, which="LM", tol=1e-10)[0]
+        # both ascending algebraic
+        np.testing.assert_allclose(w, w_ref, rtol=1e-7)
+        # eigenvector residuals
+        R = A @ V - V * w[None, :]
+        assert np.linalg.norm(R, axis=0).max() < 1e-6
+
+    @pytest.mark.parametrize("which", ["LA", "SA"])
+    def test_matches_scipy_ends(self, which):
+        A = _sym_sparse(seed=1)
+        w = rt.eigsh(A, k=5, which=which, tol=1e-9,
+                     return_eigenvectors=False)
+        w_ref = sla.eigsh(A, k=5, which=which, tol=1e-10,
+                          return_eigenvectors=False)
+        np.testing.assert_allclose(np.sort(w), np.sort(w_ref), rtol=1e-6)
+
+    def test_ascending_order_and_vector_match(self):
+        # diagonal operator: exact spectrum, exact eigenvectors
+        d = np.linspace(-10.0, 10.0, 200)
+        A = sp.diags(d)
+        w, V = rt.eigsh(A, k=4, tol=1e-11)
+        assert np.all(np.diff(w) >= 0)
+        idx = np.argsort(np.abs(d))[-4:]
+        np.testing.assert_allclose(
+            np.sort(w), np.sort(d[idx]), rtol=1e-10, atol=1e-10
+        )
+        for j, wj in enumerate(w):
+            i = int(np.argmin(np.abs(d - wj)))
+            assert abs(abs(V[i, j]) - 1.0) < 1e-5
+
+    def test_v0_seeds_start(self):
+        A = _sym_sparse(seed=2)
+        v0 = np.ones(A.shape[0])
+        w1, _ = rt.eigsh(A, k=4, v0=v0, tol=1e-9)
+        w2, _ = rt.eigsh(A, k=4, v0=v0, tol=1e-9)
+        np.testing.assert_array_equal(w1, w2)  # deterministic
+        w3 = sla.eigsh(A, k=4, which="LM", tol=1e-10,
+                       return_eigenvectors=False)
+        np.testing.assert_allclose(w1, np.sort(w3), rtol=1e-6)
+
+    def test_ncv_caps_krylov(self):
+        A = _sym_sparse(seed=3)
+        w, _ = rt.eigsh(A, k=3, ncv=60, tol=1e-8)
+        w_ref = sla.eigsh(A, k=3, which="LM", tol=1e-10,
+                          return_eigenvectors=False)
+        # a 60-column cap may stop short of the 1e-8 residual target —
+        # accuracy is only subspace-limited here
+        np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-4)
+
+    def test_unsupported_modes_raise(self):
+        A = _sym_sparse()
+        with pytest.raises(NotImplementedError):
+            rt.eigsh(A, k=3, sigma=1.0)
+        with pytest.raises(NotImplementedError):
+            rt.eigsh(A, k=3, which="SM")
+        with pytest.raises(NotImplementedError):
+            rt.eigsh(A, k=3, M=sp.eye(A.shape[0]))
+        with pytest.raises(ValueError):
+            rt.eigsh(A, k=5, ncv=5)
+
+
+class TestSvds:
+    def test_matches_scipy(self):
+        rng = np.random.default_rng(0)
+        B = rng.standard_normal((160, 90))
+        U, s, Vh = rt.svds(B, k=5)
+        s_ref = sla.svds(B, k=5, return_singular_vectors=False)
+        # both ascending
+        np.testing.assert_allclose(s, np.sort(s_ref), rtol=1e-8)
+        # factor shapes and reconstruction on the top-k subspace
+        assert U.shape == (160, 5) and Vh.shape == (5, 90)
+        np.testing.assert_allclose(
+            U * s[None, :], B @ Vh.T, atol=1e-8 * s.max()
+        )
+
+    def test_values_only(self):
+        rng = np.random.default_rng(1)
+        B = rng.standard_normal((64, 128))
+        s = rt.svds(B, k=4, return_singular_vectors=False)
+        s_exact = np.linalg.svd(B, compute_uv=False)[:4]
+        np.testing.assert_allclose(s, np.sort(s_exact), rtol=1e-9)
+
+    def test_sparse_input(self):
+        B = sp.random(200, 80, density=0.1, random_state=3)
+        s = rt.svds(B, k=3, return_singular_vectors=False)
+        s_ref = sla.svds(B, k=3, return_singular_vectors=False)
+        np.testing.assert_allclose(s, np.sort(s_ref), rtol=1e-7)
+
+    def test_which_sm_raises(self):
+        with pytest.raises(NotImplementedError):
+            rt.svds(np.eye(10), k=2, which="SM")

@@ -36,6 +36,7 @@ from .ops.spmm.operator import (
     Laplacian2D,
     Laplacian3D,
     LinearOperator,
+    SparseGramOperator,
     as_operator,
 )
 from .ops.spmm.ell import SparseEllOperator
@@ -55,6 +56,7 @@ __all__ = [
     "DiagonalOperator",
     "DenseOperator",
     "GramOperator",
+    "SparseGramOperator",
     "SparseEllOperator",
     "CooOperator",
     "HybOperator",

@@ -129,6 +129,110 @@ class CooOperator(LinearOperator):
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
+class RectCooOperator:
+    """RECTANGULAR (m, n) sparse factor as row-sorted COO triplets — the
+    sparse analogue of the dense factor B that ``rbl_svd`` (solver/svd.py)
+    takes: not a symmetric LinearOperator, but the building block of the
+    matrix-free Gram operator BᵀB / B·Bᵀ (operator.py SparseGramOperator).
+    apply(X): (n, b) → (m, b) via the same gather + segment_sum as
+    CooOperator; ``transpose()`` returns the (n, m) factor with triplets
+    re-sorted by the new row index (segment_sum's indices_are_sorted
+    contract)."""
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    _m: int = static_field(default=0)
+    _ncols: int = static_field(default=0)
+    _chunk: int = static_field(default=1 << 22)
+
+    @property
+    def shape(self):
+        return (self._m, self._ncols)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self):
+        return int(jnp.count_nonzero(self.vals))
+
+    def apply(self, X):
+        m = self._m
+        nnz = self.rows.shape[0]
+        acc = _pet(X.dtype)
+
+        def seg(rows, cols, vals):
+            contrib = (vals[:, None] * jnp.take(X, cols, axis=0)).astype(acc)
+            return jax.ops.segment_sum(
+                contrib, rows, num_segments=m, indices_are_sorted=True
+            )
+
+        if nnz <= self._chunk:
+            return seg(self.rows, self.cols, self.vals).astype(X.dtype)
+        c = self._chunk
+        nfull = nnz // c
+        body = lambda out, t: (out + seg(*t), None)
+        parts = (
+            self.rows[: nfull * c].reshape(nfull, c),
+            self.cols[: nfull * c].reshape(nfull, c),
+            self.vals[: nfull * c].reshape(nfull, c),
+        )
+        out, _ = jax.lax.scan(body, jnp.zeros((m, X.shape[1]), acc), parts)
+        if nfull * c < nnz:
+            out = out + seg(
+                self.rows[nfull * c:], self.cols[nfull * c:],
+                self.vals[nfull * c:],
+            )
+        return out.astype(X.dtype)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None):
+        import scipy.sparse as sp
+
+        A = sp.coo_matrix(A)
+        dtype = np.dtype(dtype or A.dtype)
+        return cls._from_triplets(
+            A.row, A.col, A.data.astype(dtype), A.shape[0], A.shape[1]
+        )
+
+    @classmethod
+    def _from_triplets(cls, rows, cols, vals, m, ncols):
+        order = np.argsort(rows, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        pad = (-len(rows)) % _NNZ_ALIGN
+        if pad or len(rows) == 0:
+            pad = pad or _NNZ_ALIGN
+            rows = np.concatenate([rows, np.full(pad, m - 1, rows.dtype)])
+            cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+            vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        return cls(
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            vals=jnp.asarray(vals),
+            _m=m,
+            _ncols=ncols,
+        )
+
+    def transpose(self) -> "RectCooOperator":
+        """The (n, m) transposed factor — triplets swapped and re-sorted
+        host-side (a one-time cost at operator construction)."""
+        rows = np.asarray(self.cols)
+        cols = np.asarray(self.rows)
+        vals = np.asarray(self.vals)
+        live = vals != 0  # drop this layout's padding; _from_triplets re-pads
+        return RectCooOperator._from_triplets(
+            rows[live], cols[live], vals[live], self._ncols, self._m
+        )
+
+    @property
+    def T(self) -> "RectCooOperator":
+        return self.transpose()
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
 class HybOperator(LinearOperator):
     """ELL capped at a row-length quantile + COO overflow (HYB layout)."""
 

@@ -148,6 +148,47 @@ class GramOperator(LinearOperator):
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
+class SparseGramOperator(LinearOperator):
+    """A = BᵀB (or B·Bᵀ) of a SPARSE rectangular factor B, applied
+    matrix-free as two chained sparse SpMMs — neither the Gram matrix nor
+    a dense copy of B is ever materialized.  The sparse upgrade of
+    GramOperator for ``rbl_svd``/``svds`` on large sparse factors (the
+    reference's images.jl:21 forms BᵀB densely; scipy's ``svds`` keeps B
+    sparse — this is the TPU-native equivalent of the latter).
+
+    Bf is the (m, n) forward factor, Bt its (n, m) transpose — both
+    pre-sorted COO layouts built once at construction (coo.py
+    RectCooOperator); keeping them separate avoids re-sorting triplets
+    inside the hot loop."""
+
+    Bf: Any  # RectCooOperator (m, n)
+    Bt: Any  # RectCooOperator (n, m)
+    left: bool = static_field(default=False)  # True: A = B·Bᵀ (m×m)
+
+    @property
+    def shape(self):
+        s = self.Bf.shape[0] if self.left else self.Bf.shape[1]
+        return (s, s)
+
+    @property
+    def dtype(self):
+        return self.Bf.dtype
+
+    def apply(self, X):
+        if self.left:
+            return self.Bf.apply(self.Bt.apply(X))
+        return self.Bt.apply(self.Bf.apply(X))
+
+    @classmethod
+    def from_scipy(cls, B, dtype=None, left: bool = False):
+        from .coo import RectCooOperator
+
+        Bf = RectCooOperator.from_scipy(B, dtype=dtype)
+        return cls(Bf=Bf, Bt=Bf.transpose(), left=left)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
 class AffineOperator(LinearOperator):
     """α·A + β·I of a base operator — the spectral-shift combinator behind
     ``rbl(..., which="LA"/"SA")`` (solver/rbl.py): shifting by β ≥ ‖A‖₂

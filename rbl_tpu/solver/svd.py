@@ -59,6 +59,15 @@ def _cross_recover(B, W, sigma, floor, transpose: bool = False):
     return jnp.where(sigma[None, :] > floor, X / safe[None, :], 0.0)
 
 
+@jax.jit
+def _cross_recover_sparse(Bop, W, sigma, floor):
+    """Sparse-factor cross recovery: X = Bop(W)/σ with the same σ ≤ floor
+    guarding (Bop is the pre-sorted rectangular COO factor pytree)."""
+    X = Bop.apply(W.astype(Bop.dtype))
+    safe = jnp.where(sigma > floor, sigma, jnp.ones_like(sigma))
+    return jnp.where(sigma[None, :] > floor, X / safe[None, :], 0.0)
+
+
 def rbl_svd(
     B: Any,
     k: int,
@@ -75,6 +84,24 @@ def rbl_svd(
     from .rbl import rbl
 
     cfg = cfg or RBLConfig()
+    # A scipy-sparse factor stays sparse: the Gram operator chains two
+    # rectangular COO SpMMs instead of densifying B (which at images-demo
+    # sizes is fine but defeats svds-style use on large sparse factors).
+    # The mesh path keeps the dense layout — the sharded Gram contraction
+    # is expressed through B's dense sharding spec below.
+    sparse_in = hasattr(B, "tocsr") and cfg.mesh is None
+    if sparse_in:
+        m, n = B.shape
+        if not (0 < k <= min(m, n)):
+            raise ValueError(f"k={k} out of range for shape {B.shape}")
+        left = m < n  # solve the smaller Gram side
+        from ..ops.spmm.operator import SparseGramOperator
+
+        op = SparseGramOperator.from_scipy(
+            B, dtype=cfg.compute_dtype, left=left
+        )
+        res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
+        return _assemble_svd(res, k, cfg, m, n, left, op=op)
     Bd = jnp.asarray(
         B.toarray() if hasattr(B, "toarray") else B, dtype=cfg.compute_dtype
     )
@@ -95,7 +122,12 @@ def rbl_svd(
         Bd = jax.device_put(Bd, NamedSharding(cfg.mesh, spec))
     op = GramOperator(B=Bd, left=left)
     res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
+    return _assemble_svd(res, k, cfg, m, n, left, Bd=Bd)
 
+
+def _assemble_svd(res, k, cfg, m, n, left, op=None, Bd=None):
+    """σ = √λ with noise-floor guarding, descending re-sort, and the
+    cross-factor recovery (dense ``Bd`` or sparse ``op`` path)."""
     sig2 = np.maximum(res.eigenvalues, 0.0)  # Ritz values of BᵀB are σ²≥0
     sigma = np.sqrt(sig2)
     # Below floor, W's directions are (numerical) null-space of B: their
@@ -116,9 +148,14 @@ def rbl_svd(
     order = np.argsort(-sigma, kind="stable")
     sigma = sigma[order]
     W = jnp.take(res.eigenvectors, jnp.asarray(order), axis=1)
-    sj = jnp.asarray(sigma, dtype=Bd.dtype)
     # left (m<n): W = U, recover V = Bᵀ·U/σ; else W = V, recover U = B·V/σ
-    X = _cross_recover(Bd, W, sj, floor, transpose=left)
+    if Bd is not None:
+        sj = jnp.asarray(sigma, dtype=Bd.dtype)
+        X = _cross_recover(Bd, W, sj, floor, transpose=left)
+    else:
+        cross = op.Bt if left else op.Bf
+        sj = jnp.asarray(sigma, dtype=op.dtype)
+        X = _cross_recover_sparse(cross, W, sj, floor)
     U, V = (W, X) if left else (X, W)
     return SVDResult(
         U=U,

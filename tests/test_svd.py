@@ -94,3 +94,41 @@ def test_svd_sharded_mesh_matches_single_device():
     mesh = make_row_mesh(8)
     res = rt.rbl_svd(B, 6, b=4, cfg=rt.RBLConfig(mesh=mesh, block_size=4))
     _check(B, s_true, res, 6)
+
+
+def test_rect_coo_apply_and_transpose():
+    """RectCooOperator: rectangular SpMM matches dense, both orientations."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.ops.spmm.coo import RectCooOperator
+
+    rng = np.random.default_rng(11)
+    B = sp.random(73, 41, density=0.15, random_state=rng).tocsr()
+    op = RectCooOperator.from_scipy(B, dtype=np.float64)
+    X = rng.standard_normal((41, 4))
+    np.testing.assert_allclose(np.asarray(op.apply(X)), B @ X, rtol=1e-13)
+    Y = rng.standard_normal((73, 4))
+    np.testing.assert_allclose(np.asarray(op.T.apply(Y)), B.T @ Y, rtol=1e-13)
+    assert op.shape == (73, 41) and op.T.shape == (41, 73)
+
+
+def test_svd_sparse_stays_sparse_and_recovers_factors():
+    """The sparse rbl_svd path (SparseGramOperator): full factor recovery,
+    both the tall (n-side Gram) and wide (m-side Gram) orientations."""
+    import scipy.sparse as sp
+
+    import rbl_tpu as rt
+
+    rng = np.random.default_rng(12)
+    for shape in [(300, 120), (120, 300)]:
+        B = sp.random(*shape, density=0.08, random_state=rng).tocsr()
+        res = rt.rbl_svd(B, 5, b=5)
+        s_true = np.linalg.svd(B.toarray(), compute_uv=False)[:5]
+        np.testing.assert_allclose(res.s, s_true, rtol=1e-8)
+        U, V = np.asarray(res.U), np.asarray(res.V)
+        # factor orthonormality + reconstruction on the top-k subspace
+        np.testing.assert_allclose(U.T @ U, np.eye(5), atol=1e-8)
+        np.testing.assert_allclose(V.T @ V, np.eye(5), atol=1e-8)
+        np.testing.assert_allclose(
+            B @ V, U * res.s[None, :], atol=1e-8 * res.s[0]
+        )

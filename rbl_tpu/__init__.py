@@ -44,8 +44,8 @@ from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
-from .solver.rbl import RBL, rbl
-from .solver.restarted import RBL_restarted, rbl_restarted
+from .solver.rbl import RBL, RBL_gpu, rbl
+from .solver.restarted import RBL_gpu_restarted, RBL_restarted, rbl_restarted
 from .solver.svd import SVDResult, rbl_svd
 from .compat import eigsh, svds
 
@@ -70,6 +70,8 @@ __all__ = [
     "RBL",
     "rbl_restarted",
     "RBL_restarted",
+    "RBL_gpu",
+    "RBL_gpu_restarted",
     "rbl_svd",
     "SVDResult",
     "eigsh",

@@ -170,3 +170,11 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
 def RBL(A, k: int, b: int, cfg: Optional[RBLConfig] = None):
     res = rbl(A, k, b, cfg=cfg)
     return res.eigenvalues, res.eigenvectors
+
+
+def RBL_gpu(A, k: int, b: int, cfg: Optional[RBLConfig] = None):
+    """Reference-shaped alias (RBL_gpu.jl:205): the reference forks CPU and
+    GPU solvers; here one device-agnostic core serves both, so this is
+    `RBL` under the reference's GPU entry name — kept so reference call
+    sites migrate verbatim (device/mesh placement comes from cfg)."""
+    return RBL(A, k, b, cfg=cfg)

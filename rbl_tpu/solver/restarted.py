@@ -213,3 +213,12 @@ def RBL_restarted(A, k: int, cfg: Optional[RBLConfig] = None):
     """Reference-shaped alias (restarted.jl:196): returns (D, V)."""
     res = rbl_restarted(A, k, cfg=cfg)
     return res.eigenvalues, res.eigenvectors
+
+
+def RBL_gpu_restarted(A, k: int, cfg: Optional[RBLConfig] = None):
+    """Reference-shaped alias (restarted.jl:97): the GPU/CPU restarted twins
+    collapse into one device-agnostic solve here, so this is `RBL_restarted`
+    under the reference's GPU entry name — kept so reference call sites
+    migrate verbatim.  UNLIKE the reference (which returns V=zeros,
+    restarted.jl:99-100,145), V holds the locked eigenvectors."""
+    return RBL_restarted(A, k, cfg=cfg)

@@ -113,3 +113,15 @@ class TestSvds:
     def test_which_sm_raises(self):
         with pytest.raises(NotImplementedError):
             rt.svds(np.eye(10), k=2, which="SM")
+
+
+def test_reference_gpu_entry_aliases():
+    """All four reference entry names (RBL.jl:119, RBL_gpu.jl:205,
+    restarted.jl:97,196) resolve to the single device-agnostic core."""
+    d = np.arange(1.0, 401.0)
+    A = sp.diags(d)
+    D, V = rt.RBL_gpu(A, 5, 5)
+    np.testing.assert_allclose(D, d[::-1][:5], rtol=1e-12)
+    D2, V2 = rt.RBL_gpu_restarted(A, 3)
+    np.testing.assert_allclose(np.sort(D2)[::-1], d[::-1][:3], rtol=1e-8)
+    assert V2 is not None  # unlike the reference's V=zeros quirk

@@ -61,8 +61,10 @@ def eigsh(
 
     Returns ``(w, v)`` with ``w`` in ascending algebraic order (scipy's
     convention) — or just ``w`` when ``return_eigenvectors=False``.
-    Supported ``which``: "LM", "LA", "SA".  See the module docstring for
-    the ARPACK-semantics differences.
+    Supported ``which``: "LM", "LA", "SA", "BE" (BE = ⌈k/2⌉ from the top
+    of the spectrum + ⌊k/2⌋ from the bottom, ARPACK's split, as two
+    shifted solves).  See the module docstring for the ARPACK-semantics
+    differences.
     """
     from .solver.rbl import rbl
 
@@ -74,12 +76,12 @@ def eigsh(
         raise NotImplementedError(
             "shift-invert (sigma != None) is not supported — the randomized "
             "block Lanczos solver targets exterior eigenvalues directly "
-            "(which='LM'/'LA'/'SA')"
+            "(which='LM'/'LA'/'SA'/'BE')"
         )
     which = which.upper()
-    if which not in ("LM", "LA", "SA"):
+    if which not in ("LM", "LA", "SA", "BE"):
         raise NotImplementedError(
-            f"which={which!r} not supported (LM/LA/SA are; SM/BE need "
+            f"which={which!r} not supported (LM/LA/SA/BE are; SM needs "
             "shift-invert)"
         )
     cfg = cfg or RBLConfig()
@@ -90,6 +92,31 @@ def eigsh(
             raise ValueError(f"ncv={ncv} must exceed k={k}")
         cfg = cfg.replace(max_kryl_dim=int(ncv))
     bsz = b or _default_block(k)
+
+    if which == "BE":
+        # ARPACK's BE split: ⌈k/2⌉ from the high end, ⌊k/2⌋ from the low —
+        # two independent shifted solves (each end is an LM problem of the
+        # correspondingly shifted operator; see rbl(which="LA"/"SA"))
+        k_hi, k_lo = (k + 1) // 2, k // 2
+        parts = []
+        for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
+            if kk == 0:
+                continue
+            r = rbl(
+                A, kk, b=min(bsz, _default_block(kk)), cfg=cfg, which=end,
+                compute_eigenvectors=return_eigenvectors, v0=v0,
+            )
+            parts.append(r)
+        w = np.concatenate(
+            [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+        )
+        order = np.argsort(w, kind="stable")
+        if not return_eigenvectors:
+            return w[order]
+        V = np.concatenate(
+            [np.asarray(r.eigenvectors) for r in parts], axis=1
+        )
+        return w[order], V[:, order]
 
     res = rbl(
         A, k, b=bsz, cfg=cfg, which=which,

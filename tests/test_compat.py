@@ -71,6 +71,15 @@ class TestEigsh:
         # accuracy is only subspace-limited here
         np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-4)
 
+    def test_be_both_ends(self):
+        A = _sym_sparse(seed=4)
+        w, V = rt.eigsh(A, k=5, which="BE", tol=1e-9)
+        w_ref = sla.eigsh(A, k=5, which="BE", tol=1e-10,
+                          return_eigenvectors=False)
+        np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-6)
+        R = A @ V - V * w[None, :]
+        assert np.linalg.norm(R, axis=0).max() < 1e-6
+
     def test_unsupported_modes_raise(self):
         A = _sym_sparse()
         with pytest.raises(NotImplementedError):

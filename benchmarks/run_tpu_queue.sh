@@ -1,0 +1,37 @@
+#!/bin/bash
+# One-shot queue of every real-TPU measurement, for when the axon tunnel is
+# reachable (it drops for hours at a time — CLAUDE.md gotchas).  Each step
+# is timeboxed; output tees to benchmarks/results/.  Run from the repo root.
+set -u
+mkdir -p benchmarks/results
+stamp=$(date +%Y%m%d_%H%M)
+log() { tee -a "benchmarks/results/tpu_${stamp}_$1.log"; }
+
+echo "== headline (bench.py) =="
+timeout 1800 python bench.py 2>&1 | log headline
+
+echo "== SpMM formats incl. HYB/COO skew case =="
+timeout 1800 python benchmarks/spmm_bench.py 2>&1 | log spmm
+
+echo "== solver block-size sweep (reference benchmark.jl:29-36 config) =="
+timeout 3600 python benchmarks/solver_bench.py --blocks 1,2,4,8 2>&1 | log solver
+
+echo "== n=1M headline variant =="
+timeout 1800 python - <<'EOF' 2>&1 | log n1m
+import json, time
+import jax.numpy as jnp
+import rbl_tpu as rt
+
+op = rt.Laplacian2D(nx=1024, ny=1024, _dtype=jnp.float32)
+cfg = rt.RBLConfig(block_size=8, basis_dtype=jnp.float32,
+                   compute_dtype=jnp.float32, qr_method="cholqr2",
+                   tol=1e-3, max_kryl_dim=768, eig_poll_cadence=16)
+rt.rbl(op, 50, cfg=cfg)  # warm epoch (compiles)
+t0 = time.perf_counter()
+res = rt.rbl(op, 50, cfg=cfg)
+float(res.eigenvectors[0, 0])
+print(json.dumps({"metric": "lap2d_1024_k50_b8_f32", "value":
+                  round(time.perf_counter() - t0, 3), "unit": "s"}))
+EOF
+
+echo "done — logs in benchmarks/results/tpu_${stamp}_*.log"

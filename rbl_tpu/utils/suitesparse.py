@@ -49,6 +49,6 @@ def laplacian_2d(nx: int, ny: int) -> sp.csr_matrix:
     matrix-free operator)."""
     Ix = sp.eye(nx)
     Iy = sp.eye(ny)
-    Dx = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(nx, nx))
-    Dy = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(ny, ny))
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Dy = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ny, ny))
     return sp.csr_matrix(sp.kron(Dx, Iy) + sp.kron(Ix, Dy))

@@ -42,6 +42,7 @@ def rbl(
     which: str = "LM",
     timer=None,
     v0=None,
+    deflate=None,
 ) -> LanczosResult:
     """Compute k eigenpairs of the symmetric operator A with randomized
     block Lanczos.
@@ -62,6 +63,14 @@ def rbl(
     v0 optionally seeds the first column of the random sampling block Ω
     (the scipy ``eigsh(v0=...)`` surface); the other b−1 columns stay
     random.
+
+    deflate optionally supplies an (n, j) block of known eigenvectors (or
+    any directions) to exclude: the sweep deflates every newborn residual
+    against their orthonormalized span, so the returned k pairs are the
+    dominant ones of the COMPLEMENT — incremental eigensolving ("give me
+    the next k") without re-converging what is already known.  This is the
+    restarted variant's internal lock set (restarted.jl:53-57 semantics,
+    every-step here — see _sweep_chunk) opened up as an API.
 
     Returns a LanczosResult with (optionally) the matching Ritz vectors.
     """
@@ -91,7 +100,9 @@ def rbl(
             op = AffineOperator.shift(
                 op, 1.0 if which == "LA" else -1.0, shift
             )
-        res = _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=v0)
+        res = _rbl_impl(
+            op, k, cfg, compute_eigenvectors, timer, v0=v0, deflate=deflate
+        )
         if which == "LA":
             res.eigenvalues = res.eigenvalues - shift
         elif which == "SA":
@@ -101,7 +112,7 @@ def rbl(
         return res
 
 
-def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
+def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
     b = cfg.block_size
     n = op.n
     sharding = _row_sharding(cfg)
@@ -109,6 +120,24 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
         v0 = jnp.asarray(v0).reshape(-1)
         if v0.shape[0] != n:
             raise ValueError(f"v0 has length {v0.shape[0]}, expected {n}")
+    lock = None
+    if deflate is not None:
+        from ..ops.qr import block_qr
+
+        lock = jnp.asarray(deflate, dtype=cfg.compute_dtype)
+        if lock.ndim == 1:
+            lock = lock[:, None]
+        if lock.ndim != 2 or lock.shape[0] != n:
+            raise ValueError(
+                f"deflate must be (n, j) with n={n}, got {lock.shape}"
+            )
+        if sharding is not None:
+            lock = jax.device_put(lock, sharding)
+        # Orthonormalize the user-supplied span once (Householder: a
+        # one-time cost, and robust to rank-deficient/unnormalized input —
+        # the deflation projector needs an orthonormal lock buffer)
+        lock, _ = block_qr(lock, method="householder")
+        lock = lock.astype(cfg.basis_dtype)
     max_kryl = clamp_kryl_dim(
         cfg.max_kryl_dim, n, b, cfg.basis_dtype, cfg.compute_dtype,
         n_devices=(cfg.mesh.devices.size if cfg.mesh is not None else 1),
@@ -118,6 +147,15 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
 
     key = jax.random.PRNGKey(cfg.seed)
     Qi = random_start_block(op, key, b, cfg, sharding=sharding, v0=v0)
+    if lock is not None:
+        # the start block must begin clean of the deflated span (the
+        # restarted sweep does the same before entering the driver)
+        from ..ops.qr import block_qr
+        from ..ops.reorth import deflate as _deflate
+
+        Qi = _deflate(lock, Qi.astype(jnp.dtype(cfg.compute_dtype)))
+        Qi, _ = block_qr(Qi, method=cfg.resolved_qr_method())
+        Qi = Qi.astype(jnp.dtype(cfg.basis_dtype))
     store = BasisStore(
         n, b, max_cols=max_kryl + b, dtype=cfg.basis_dtype,
         init_cols=cfg.min_basis_cols, sharding=sharding,
@@ -125,7 +163,7 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None):
     )
 
     w_sel, V_sel, T, bounds, converged, nblocks = lanczos_iteration(
-        op, k, cfg, Qi, store, timer=timer
+        op, k, cfg, Qi, store, lock_basis=lock, timer=timer
     )
 
     # ascending-|λ| → descending, as the reference returns

@@ -50,3 +50,42 @@ def test_sa_matches_eigsh_sparse():
 def test_which_validation():
     with pytest.raises(ValueError):
         rt.rbl(np.ones(10), 2, 2, which="BE")
+
+
+class TestDeflateAPI:
+    """rbl(..., deflate=X): external deflation — compute the NEXT k pairs
+    orthogonal to an already-known span (the restarted variant's lock set
+    opened as an API; restarted.jl:53-57 semantics)."""
+
+    def test_next_k_after_known_eigenvectors(self):
+        import scipy.sparse as sp
+
+        d = np.arange(1.0, 501.0)
+        A = sp.diags(d)
+        top = rt.rbl(A, 3, b=4)
+        nxt = rt.rbl(A, 3, b=4, deflate=top.eigenvectors)
+        np.testing.assert_allclose(
+            nxt.eigenvalues, [497.0, 496.0, 495.0], rtol=1e-10
+        )
+        # returned vectors orthogonal to the deflated span
+        X = np.asarray(top.eigenvectors).T @ np.asarray(nxt.eigenvectors)
+        assert np.abs(X).max() < 1e-8
+
+    def test_unnormalized_deflate_input(self):
+        import scipy.sparse as sp
+
+        d = np.arange(1.0, 301.0)
+        A = sp.diags(d)
+        # raw (scaled, non-orthonormal) directions for the top-2
+        X = np.zeros((300, 2))
+        X[299, 0] = 7.5
+        X[298, 1] = -0.03
+        res = rt.rbl(A, 2, b=4, deflate=X)
+        np.testing.assert_allclose(res.eigenvalues, [298.0, 297.0], rtol=1e-10)
+
+    def test_deflate_shape_validation(self):
+        import scipy.sparse as sp
+
+        A = sp.diags(np.arange(1.0, 101.0))
+        with pytest.raises(ValueError):
+            rt.rbl(A, 2, deflate=np.ones((55, 2)))

@@ -333,14 +333,41 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
     """Coerce a user-supplied matrix into a LinearOperator.
 
     Accepts: LinearOperator (returned as-is), dense ndarray/jax array,
-    scipy.sparse matrix, 1-D array (diagonal).  Sparse matrices pick the
-    TPU-native layout automatically ("auto"): DIA for banded, Pallas BSR
-    for block-structured (TPU, ≤f32), HYB for skewed row-length
+    scipy.sparse matrix, ``jax.experimental.sparse`` BCOO/BCSR (converted
+    through scipy triplets so the same format auto-selection applies),
+    1-D array (diagonal).  Sparse matrices pick the TPU-native layout
+    automatically ("auto"): DIA for banded, Pallas BSR for
+    block-structured (TPU, ≤f32), HYB for skewed row-length
     distributions, ELL otherwise; or force one with
     format="dia" | "bsr" | "ell" | "hyb" | "coo".
     """
     if isinstance(A, LinearOperator):
         return A
+    if (
+        type(A).__module__.startswith("jax.experimental.sparse")
+        and hasattr(A, "todense")
+    ):  # BCOO / BCSR: route through scipy COO triplets (host-side,
+        #   one-time) so the structure probe + layout auto-pick apply
+        import scipy.sparse as _sp
+
+        Ac = A.to_bcoo() if hasattr(A, "to_bcoo") else A  # BCSR → BCOO
+        if getattr(Ac, "n_batch", 0) or getattr(Ac, "n_dense", 0):
+            raise TypeError(
+                "batched/block BCOO not supported — pass an unbatched 2-D "
+                "matrix (n_batch == n_dense == 0)"
+            )
+        idx = np.asarray(Ac.indices)
+        dat = np.asarray(Ac.data)
+        # BCOO pads its nse slots with out-of-range or duplicate indices
+        # and zero data; drop them (scipy's tocsr sums any remaining dupes)
+        live = (
+            (dat != 0)
+            & (idx[:, 0] < Ac.shape[0])
+            & (idx[:, 1] < Ac.shape[1])
+        )
+        A = _sp.coo_matrix(
+            (dat[live], (idx[live, 0], idx[live, 1])), shape=Ac.shape
+        ).tocsr()
     if hasattr(A, "tocsr"):  # scipy.sparse
         fmt = format if format != "auto" else _pick_sparse_format(A, dtype)
         if fmt == "dia":

@@ -478,3 +478,29 @@ def test_repair_block_rank_zero():
     assert np.abs(Z.T @ Z - np.eye(b)).max() < 1e-12
     assert np.abs(np.asarray(store.view()).T @ Z).max() < 1e-12
     assert np.abs(np.asarray(Qprev).T @ Z).max() < 1e-12
+
+
+def test_as_operator_bcoo_bcsr():
+    """jax.experimental.sparse BCOO/BCSR inputs route through the same
+    format auto-selection as scipy matrices."""
+    import numpy as np
+    import scipy.sparse as sp
+    from jax.experimental import sparse as jsparse
+
+    import rbl_tpu as rt
+
+    rng = np.random.default_rng(0)
+    A = sp.random(150, 150, density=0.05, random_state=rng)
+    A = ((A + A.T) * 0.5).tocsr()
+    Ab = jsparse.BCOO.from_scipy_sparse(A.tocoo())
+    op = rt.as_operator(Ab, dtype=np.float64)
+    X = rng.standard_normal((150, 4))
+    np.testing.assert_allclose(np.asarray(op.apply(X)), A @ X, rtol=1e-12)
+    Abs = jsparse.BCSR.from_scipy_sparse(A)
+    op2 = rt.as_operator(Abs, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(op2.apply(X)), A @ X, rtol=1e-12)
+    # end-to-end solve from a BCOO input
+    d = np.arange(1.0, 201.0)
+    Db = jsparse.BCOO.fromdense(np.diag(d))
+    D, _ = rt.RBL(Db, 3, 4)
+    np.testing.assert_allclose(D, [200.0, 199.0, 198.0], rtol=1e-11)

@@ -211,3 +211,84 @@ class ShardedCooSpMM(LinearOperator):
             in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis, None)),
             out_specs=P(self.axis, None),
         )(self.rows, self.cols, self.vals, X)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShardedRectCooSpMM:
+    """RECTANGULAR (m, n) row-partitioned COO factor: the distributed twin
+    of ops.spmm.coo.RectCooOperator, used in pairs (forward + transpose)
+    by the sharded sparse Gram operator behind ``rbl_svd`` on a mesh.
+    Output rows (m) are banded across the mesh axis; the input block
+    arrives sharded over its own rows (n) and is all-gathered over ICI
+    before the local gather + sorted segment_sum.  Both m and n must be
+    divisible by the mesh axis size (the caller falls back to the dense
+    sharded path otherwise)."""
+
+    rows: jax.Array  # (ndev * cap,) int32 LOCAL output-row ids, sharded
+    cols: jax.Array  # (ndev * cap,) int32 global input-column ids
+    vals: jax.Array  # (ndev * cap,)
+    _m: int = static_field(default=0)
+    _ncols: int = static_field(default=0)
+    mesh: Mesh = static_field(default=None)
+    axis: str = static_field(default="rows")
+
+    @property
+    def shape(self):
+        return (self._m, self._ncols)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @classmethod
+    def from_scipy(cls, B, mesh, axis: str = "rows", dtype=None):
+        import numpy as np
+        import scipy.sparse as sp
+
+        B = sp.csr_matrix(B)
+        m, n = B.shape
+        ndev = mesh.shape[axis]
+        if m % ndev or n % ndev:
+            raise ValueError(
+                f"shape {B.shape} not divisible by mesh axis size {ndev}"
+            )
+        ml = m // ndev
+        dtype = np.dtype(dtype or B.dtype)
+        shards = []
+        for d in range(ndev):
+            band = B[d * ml : (d + 1) * ml].tocoo()
+            order = np.argsort(band.row, kind="stable")
+            shards.append((band.row[order], band.col[order], band.data[order]))
+        cap = max(max(len(s[0]) for s in shards), 1)
+        rows = np.full((ndev, cap), ml - 1, np.int32)  # pad: local last row,
+        cols = np.zeros((ndev, cap), np.int32)         # val 0 (ascending-
+        vals = np.zeros((ndev, cap), dtype)            # rows invariant kept)
+        for d, (r, c, v) in enumerate(shards):
+            rows[d, : len(r)] = r
+            cols[d, : len(c)] = c
+            vals[d, : len(v)] = v.astype(dtype)
+        sh = NamedSharding(mesh, P(axis))
+        return cls(
+            rows=jax.device_put(rows.reshape(-1), sh),
+            cols=jax.device_put(cols.reshape(-1), sh),
+            vals=jax.device_put(vals.reshape(-1), sh),
+            _m=m, _ncols=n, mesh=mesh, axis=axis,
+        )
+
+    def apply(self, X):
+        ml = self._m // self.mesh.shape[self.axis]
+
+        def local_apply(rows_l, cols_l, vals_l, x_local):
+            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+            contrib = vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
+            return jax.ops.segment_sum(
+                contrib, rows_l, num_segments=ml, indices_are_sorted=True
+            ).astype(x_local.dtype)
+
+        return jax.shard_map(
+            local_apply,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis, None)),
+            out_specs=P(self.axis, None),
+        )(self.rows, self.cols, self.vals, X)

@@ -89,19 +89,42 @@ def rbl_svd(
     # sizes is fine but defeats svds-style use on large sparse factors).
     # The mesh path keeps the dense layout — the sharded Gram contraction
     # is expressed through B's dense sharding spec below.
-    sparse_in = hasattr(B, "tocsr") and cfg.mesh is None
-    if sparse_in:
+    if hasattr(B, "tocsr"):
         m, n = B.shape
         if not (0 < k <= min(m, n)):
             raise ValueError(f"k={k} out of range for shape {B.shape}")
         left = m < n  # solve the smaller Gram side
         from ..ops.spmm.operator import SparseGramOperator
 
-        op = SparseGramOperator.from_scipy(
-            B, dtype=cfg.compute_dtype, left=left
-        )
-        res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
-        return _assemble_svd(res, k, cfg, m, n, left, op=op)
+        op = None
+        if cfg.mesh is None:
+            op = SparseGramOperator.from_scipy(
+                B, dtype=cfg.compute_dtype, left=left
+            )
+        else:
+            # mesh: row-partitioned rectangular COO factors (forward +
+            # transpose), each all-gathering its input block over ICI —
+            # the sparse twin of the dense sharded-B path below.  Falls
+            # through to densification when the dims don't divide the mesh.
+            try:
+                import scipy.sparse as sp
+
+                from ..parallel.dist_spmm import ShardedRectCooSpMM
+
+                Bc = sp.csr_matrix(B)
+                Bf = ShardedRectCooSpMM.from_scipy(
+                    Bc, cfg.mesh, axis=cfg.rows_axis, dtype=cfg.compute_dtype
+                )
+                Bt = ShardedRectCooSpMM.from_scipy(
+                    Bc.T.tocsr(), cfg.mesh, axis=cfg.rows_axis,
+                    dtype=cfg.compute_dtype,
+                )
+                op = SparseGramOperator(Bf=Bf, Bt=Bt, left=left)
+            except ValueError:
+                op = None
+        if op is not None:
+            res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
+            return _assemble_svd(res, k, cfg, m, n, left, op=op)
     Bd = jnp.asarray(
         B.toarray() if hasattr(B, "toarray") else B, dtype=cfg.compute_dtype
     )

@@ -102,3 +102,28 @@ def test_sharded_coo_solve_end_to_end(eight_devices):
     w = np.linalg.eigvalsh(A.toarray())
     ref = w[np.argsort(-np.abs(w))][:k]
     np.testing.assert_allclose(res.eigenvalues, ref, rtol=1e-9)
+
+
+def test_sharded_sparse_svd_matches_unsharded(eight_devices):
+    """Sparse rbl_svd over a mesh: both rectangular COO factors live
+    row-banded across devices; result must match the single-device solve."""
+    import scipy.sparse as sp
+
+    import rbl_tpu as rt
+    from rbl_tpu.parallel.mesh import make_row_mesh
+
+    rng = np.random.default_rng(21)
+    B = sp.random(320, 128, density=0.06, random_state=rng).tocsr()
+    s_ref = np.linalg.svd(B.toarray(), compute_uv=False)[:4]
+    mesh = make_row_mesh(8)
+    res = rt.rbl_svd(B, 4, b=4, cfg=rt.RBLConfig(mesh=mesh, block_size=4))
+    np.testing.assert_allclose(res.s, s_ref, rtol=1e-8)
+    U, V = np.asarray(res.U), np.asarray(res.V)
+    np.testing.assert_allclose(
+        B @ V, U * res.s[None, :], atol=1e-8 * res.s[0]
+    )
+    # indivisible dims fall back to the dense sharded path, same answer
+    B2 = sp.random(321, 128, density=0.06, random_state=rng).tocsr()
+    s2_ref = np.linalg.svd(B2.toarray(), compute_uv=False)[:3]
+    res2 = rt.rbl_svd(B2, 3, b=4, cfg=rt.RBLConfig(mesh=mesh, block_size=4))
+    np.testing.assert_allclose(res2.s, s2_ref, rtol=1e-8)

@@ -32,6 +32,7 @@ from .ops.spmm.operator import (
     AffineOperator,
     DenseOperator,
     DiagonalOperator,
+    FunctionOperator,
     GramOperator,
     Laplacian2D,
     Laplacian3D,
@@ -55,6 +56,7 @@ __all__ = [
     "AffineOperator",
     "DiagonalOperator",
     "DenseOperator",
+    "FunctionOperator",
     "GramOperator",
     "SparseGramOperator",
     "SparseEllOperator",

@@ -148,6 +148,32 @@ class GramOperator(LinearOperator):
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
+class FunctionOperator(LinearOperator):
+    """Matrix-free operator from a user-supplied JAX-traceable function
+    ``fun(X) -> A·X`` on (n, b) blocks.  The function must be symmetric as
+    a linear map and pure (it is traced under jit inside the solver's
+    fused sweep chunks); closure constants become compile-time constants.
+    The scipy-LinearOperator migration path for matrix-free users — except
+    the map stays on device instead of calling back to the host."""
+
+    fun: Any = static_field()
+    _n: int = static_field(default=0)
+    _dtype: Any = static_field(default=None)
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._dtype or jnp.float64)
+
+    def apply(self, X):
+        return self.fun(X)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
 class SparseGramOperator(LinearOperator):
     """A = BᵀB (or B·Bᵀ) of a SPARSE rectangular factor B, applied
     matrix-free as two chained sparse SpMMs — neither the Gram matrix nor

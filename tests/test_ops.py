@@ -504,3 +504,21 @@ def test_as_operator_bcoo_bcsr():
     Db = jsparse.BCOO.fromdense(np.diag(d))
     D, _ = rt.RBL(Db, 3, 4)
     np.testing.assert_allclose(D, [200.0, 199.0, 198.0], rtol=1e-11)
+
+
+def test_function_operator_end_to_end():
+    """FunctionOperator: user-supplied jax-traceable matvec drives a full
+    solve (the matrix-free migration path for scipy LinearOperator users)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import rbl_tpu as rt
+
+    d = jnp.asarray(np.arange(1.0, 501.0))
+    op = rt.FunctionOperator(
+        fun=lambda X: d[:, None] * X, _n=500, _dtype=jnp.float64
+    )
+    res = rt.rbl(op, 4, b=4)
+    np.testing.assert_allclose(
+        res.eigenvalues, [500.0, 499.0, 498.0, 497.0], rtol=1e-11
+    )

@@ -122,8 +122,6 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
             raise ValueError(f"v0 has length {v0.shape[0]}, expected {n}")
     lock = None
     if deflate is not None:
-        from ..ops.qr import block_qr
-
         lock = jnp.asarray(deflate, dtype=cfg.compute_dtype)
         if lock.ndim == 1:
             lock = lock[:, None]
@@ -131,13 +129,21 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
             raise ValueError(
                 f"deflate must be (n, j) with n={n}, got {lock.shape}"
             )
-        if sharding is not None:
-            lock = jax.device_put(lock, sharding)
-        # Orthonormalize the user-supplied span once (Householder: a
-        # one-time cost, and robust to rank-deficient/unnormalized input —
-        # the deflation projector needs an orthonormal lock buffer)
-        lock, _ = block_qr(lock, method="householder")
-        lock = lock.astype(cfg.basis_dtype)
+        # Orthonormalize the user-supplied span once via SVD and keep only
+        # the NUMERICAL-RANK columns: plain QR of a rank-deficient span
+        # (duplicated vectors, a zero column, spans accumulated across
+        # solves) fills the dead columns with arbitrary orthonormal
+        # directions, silently deflating eigenvectors the user never asked
+        # to exclude.  One-time O(n·j²) host cost.
+        u, sv, _ = np.linalg.svd(np.asarray(lock), full_matrices=False)
+        tol = (sv[0] if sv.size else 0.0) * max(lock.shape) * np.finfo(np.float64).eps
+        r = int(np.sum(sv > tol))
+        if r == 0:
+            lock = None
+        else:
+            lock = jnp.asarray(u[:, :r], dtype=cfg.basis_dtype)
+            if sharding is not None:
+                lock = jax.device_put(lock, sharding)
     max_kryl = clamp_kryl_dim(
         cfg.max_kryl_dim, n, b, cfg.basis_dtype, cfg.compute_dtype,
         n_devices=(cfg.mesh.devices.size if cfg.mesh is not None else 1),

@@ -83,6 +83,31 @@ class TestDeflateAPI:
         res = rt.rbl(A, 2, b=4, deflate=X)
         np.testing.assert_allclose(res.eigenvalues, [298.0, 297.0], rtol=1e-10)
 
+    def test_rank_deficient_deflate_keeps_only_true_span(self):
+        import scipy.sparse as sp
+
+        d = np.arange(1.0, 301.0)
+        A = sp.diags(d)
+        # 4 columns, rank 1: duplicated/scaled copies of e_300 plus a zero
+        # column.  QR would invent 3 arbitrary orthonormal directions and
+        # silently deflate eigenvectors the user never excluded; the SVD
+        # rank screen must keep only span{e_300}.
+        X = np.zeros((300, 4))
+        X[299, 0] = 1.0
+        X[299, 1] = -2.5
+        X[299, 3] = 1e-3
+        res = rt.rbl(A, 3, b=4, deflate=X)
+        np.testing.assert_allclose(
+            res.eigenvalues, [299.0, 298.0, 297.0], rtol=1e-10
+        )
+
+    def test_zero_deflate_is_ignored(self):
+        import scipy.sparse as sp
+
+        A = sp.diags(np.arange(1.0, 201.0))
+        res = rt.rbl(A, 2, b=4, deflate=np.zeros((200, 3)))
+        np.testing.assert_allclose(res.eigenvalues, [200.0, 199.0], rtol=1e-10)
+
     def test_deflate_shape_validation(self):
         import scipy.sparse as sp
 

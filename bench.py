@@ -15,7 +15,11 @@ import json
 import time
 
 
-def run(timed: bool):
+def run(timed: bool, seed: int = 0):
+    # Each rep gets a distinct PRNG seed: byte-identical (program, inputs)
+    # executions can be served from a backend cache (CLAUDE.md gotcha #4),
+    # making repeated identical solves report impossible times.  A fresh Ω
+    # changes input bytes without changing shapes (no recompile).
     import jax.numpy as jnp
 
     import rbl_tpu as rt
@@ -32,6 +36,7 @@ def run(timed: bool):
         tol=1e-3,
         max_kryl_dim=768,
         eig_poll_cadence=16,
+        seed=seed,
     )
     t0 = time.perf_counter()
     res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)
@@ -71,18 +76,18 @@ def main():
         from benchmarks.baseline_loop import reference_shaped_solve
 
         op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
-        reference_shaped_solve(op, 50, 8)  # warm-up epoch
+        reference_shaped_solve(op, 50, 8, seed=0)  # warm-up epoch
         times = []
-        for _ in range(2):
+        for rep in (1, 2):  # distinct seeds: defeat result caching
             t0 = time.perf_counter()
-            reference_shaped_solve(op, 50, 8)
+            reference_shaped_solve(op, 50, 8, seed=rep)
             times.append(time.perf_counter() - t0)
         measured_baseline = baseline_s = min(times)
 
-    run(timed=False)  # warm the compile caches
+    run(timed=False, seed=0)  # warm the compile caches
     best = None
-    for _ in range(3):  # best-of-3: tunnel RPC variance
-        dt, res = run(timed=True)
+    for rep in (1, 2, 3):  # best-of-3 distinct seeds: tunnel RPC variance
+        dt, res = run(timed=True, seed=rep)
         if best is None or dt < best[0]:
             best = (dt, res)
     dt, res = best

@@ -96,14 +96,24 @@ def eigsh(
     if which == "BE":
         # ARPACK's BE split: ⌈k/2⌉ from the high end, ⌊k/2⌋ from the low —
         # two independent shifted solves (each end is an LM problem of the
-        # correspondingly shifted operator; see rbl(which="LA"/"SA"))
+        # correspondingly shifted operator; see rbl(which="LA"/"SA")).
+        # Validate k against the FULL problem size up front: each half-solve
+        # only checks its own kk ≤ n, so k > n would otherwise silently
+        # return k values with duplicates across the two ends.
+        n = getattr(A, "shape", (None,))[0]
+        if n is None:
+            n = getattr(A, "n", None)
+        if n is not None and not (0 < k <= n):
+            raise ValueError(f"k={k} out of range for n={n}")
         k_hi, k_lo = (k + 1) // 2, k // 2
         parts = []
         for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
             if kk == 0:
                 continue
+            # honor an explicit user block size; only the DEFAULT shrinks
+            # to the half-solve's smaller k
             r = rbl(
-                A, kk, b=min(bsz, _default_block(kk)), cfg=cfg, which=end,
+                A, kk, b=b or _default_block(kk), cfg=cfg, which=end,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
             )
             parts.append(r)
@@ -168,9 +178,17 @@ def svds(
             raise ValueError(f"ncv={ncv} must exceed k={k}")
         cfg = cfg.replace(max_kryl_dim=int(ncv))
     if random_state is not None:
-        cfg = cfg.replace(seed=int(random_state))
+        # scipy accepts int | Generator | RandomState | None — derive one
+        # PRNG seed from whichever arrives
+        if isinstance(random_state, np.random.Generator):
+            seed = int(random_state.integers(0, 2**31 - 1))
+        elif isinstance(random_state, np.random.RandomState):
+            seed = int(random_state.randint(0, 2**31 - 1))
+        else:
+            seed = int(random_state)
+        cfg = cfg.replace(seed=seed)
 
-    res = rbl_svd(A, k, b=b or _default_block(k), cfg=cfg)
+    res = rbl_svd(A, k, b=b or _default_block(k), cfg=cfg, v0=v0)
     order = np.argsort(res.s, kind="stable")  # ascending, scipy-style
     s = np.asarray(res.s)[order]
     if not return_singular_vectors:

@@ -35,6 +35,55 @@ from .operator import LinearOperator, _pet, register_operator, static_field
 _NNZ_ALIGN = 1024
 
 
+def _coo_apply(rows, cols, vals, X, nrows_out, chunk):
+    """Shared COO SpMM body: gather X rows, one sorted ``segment_sum``
+    into ``nrows_out`` output rows, accumulated in ``_pet(X.dtype)``;
+    ``lax.scan`` over ``chunk``-sized triplet slabs bounds the (nnz, b)
+    gather intermediate in HBM."""
+    nnz = rows.shape[0]
+    acc = _pet(X.dtype)
+
+    def seg(r, c, v):
+        contrib = (v[:, None] * jnp.take(X, c, axis=0)).astype(acc)
+        return jax.ops.segment_sum(
+            contrib, r, num_segments=nrows_out, indices_are_sorted=True
+        )
+
+    if nnz <= chunk:
+        return seg(rows, cols, vals).astype(X.dtype)
+    nfull = nnz // chunk
+    body = lambda out, t: (out + seg(*t), None)
+    parts = (
+        rows[: nfull * chunk].reshape(nfull, chunk),
+        cols[: nfull * chunk].reshape(nfull, chunk),
+        vals[: nfull * chunk].reshape(nfull, chunk),
+    )
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((nrows_out, X.shape[1]), acc), parts
+    )
+    if nfull * chunk < nnz:
+        out = out + seg(
+            rows[nfull * chunk:], cols[nfull * chunk:], vals[nfull * chunk:]
+        )
+    return out.astype(X.dtype)
+
+
+def _pad_sorted_triplets(rows, cols, vals, last_row):
+    """Row-sort triplets and pad to ``_NNZ_ALIGN``.  Pad slots target
+    ``last_row`` with val 0 (zero contribution): appending them keeps the
+    row array ascending, which segment_sum's ``indices_are_sorted=True``
+    contract requires — row-0 padding after sorted rows would violate it."""
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    pad = (-len(rows)) % _NNZ_ALIGN
+    if pad or len(rows) == 0:
+        pad = pad or _NNZ_ALIGN
+        rows = np.concatenate([rows, np.full(pad, last_row, rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+        vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+    return rows.astype(np.int32), cols.astype(np.int32), vals
+
+
 @register_operator
 @dataclasses.dataclass(frozen=True)
 class CooOperator(LinearOperator):
@@ -65,31 +114,9 @@ class CooOperator(LinearOperator):
         return int(jnp.count_nonzero(self.vals))
 
     def apply(self, X):
-        n = self._n
-        nnz = self.rows.shape[0]
-        acc = _pet(X.dtype)
-
-        def seg(rows, cols, vals):
-            contrib = (vals[:, None] * jnp.take(X, cols, axis=0)).astype(acc)
-            return jax.ops.segment_sum(
-                contrib, rows, num_segments=n, indices_are_sorted=True
-            )
-
-        if nnz <= self._chunk:
-            return seg(self.rows, self.cols, self.vals).astype(X.dtype)
-
-        c = self._chunk
-        m = nnz // c  # nnz_pad is aligned; pad tail handled below
-        body = lambda out, t: (out + seg(*t), None)
-        parts = (
-            self.rows[: m * c].reshape(m, c),
-            self.cols[: m * c].reshape(m, c),
-            self.vals[: m * c].reshape(m, c),
+        return _coo_apply(
+            self.rows, self.cols, self.vals, X, self._n, self._chunk
         )
-        out, _ = jax.lax.scan(body, jnp.zeros((n, X.shape[1]), acc), parts)
-        if m * c < nnz:
-            out = out + seg(self.rows[m * c:], self.cols[m * c:], self.vals[m * c:])
-        return out.astype(X.dtype)
 
     @classmethod
     def from_scipy(cls, A, dtype=None):
@@ -101,21 +128,10 @@ class CooOperator(LinearOperator):
 
     @classmethod
     def _from_triplets(cls, rows, cols, vals, n):
-        order = np.argsort(rows, kind="stable")
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        pad = (-len(rows)) % _NNZ_ALIGN
-        if pad or len(rows) == 0:
-            pad = pad or _NNZ_ALIGN
-            # pad slots target row n-1 (zero contribution): appending them
-            # keeps the array ascending, which segment_sum's
-            # indices_are_sorted=True contract requires — row-0 padding
-            # after sorted rows would violate it
-            rows = np.concatenate([rows, np.full(pad, n - 1, rows.dtype)])
-            cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
-            vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        rows, cols, vals = _pad_sorted_triplets(rows, cols, vals, n - 1)
         return cls(
-            rows=jnp.asarray(rows.astype(np.int32)),
-            cols=jnp.asarray(cols.astype(np.int32)),
+            rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols),
             vals=jnp.asarray(vals),
             _n=n,
         )
@@ -159,33 +175,9 @@ class RectCooOperator:
         return int(jnp.count_nonzero(self.vals))
 
     def apply(self, X):
-        m = self._m
-        nnz = self.rows.shape[0]
-        acc = _pet(X.dtype)
-
-        def seg(rows, cols, vals):
-            contrib = (vals[:, None] * jnp.take(X, cols, axis=0)).astype(acc)
-            return jax.ops.segment_sum(
-                contrib, rows, num_segments=m, indices_are_sorted=True
-            )
-
-        if nnz <= self._chunk:
-            return seg(self.rows, self.cols, self.vals).astype(X.dtype)
-        c = self._chunk
-        nfull = nnz // c
-        body = lambda out, t: (out + seg(*t), None)
-        parts = (
-            self.rows[: nfull * c].reshape(nfull, c),
-            self.cols[: nfull * c].reshape(nfull, c),
-            self.vals[: nfull * c].reshape(nfull, c),
+        return _coo_apply(
+            self.rows, self.cols, self.vals, X, self._m, self._chunk
         )
-        out, _ = jax.lax.scan(body, jnp.zeros((m, X.shape[1]), acc), parts)
-        if nfull * c < nnz:
-            out = out + seg(
-                self.rows[nfull * c:], self.cols[nfull * c:],
-                self.vals[nfull * c:],
-            )
-        return out.astype(X.dtype)
 
     @classmethod
     def from_scipy(cls, A, dtype=None):
@@ -199,17 +191,10 @@ class RectCooOperator:
 
     @classmethod
     def _from_triplets(cls, rows, cols, vals, m, ncols):
-        order = np.argsort(rows, kind="stable")
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        pad = (-len(rows)) % _NNZ_ALIGN
-        if pad or len(rows) == 0:
-            pad = pad or _NNZ_ALIGN
-            rows = np.concatenate([rows, np.full(pad, m - 1, rows.dtype)])
-            cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
-            vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        rows, cols, vals = _pad_sorted_triplets(rows, cols, vals, m - 1)
         return cls(
-            rows=jnp.asarray(rows.astype(np.int32)),
-            cols=jnp.asarray(cols.astype(np.int32)),
+            rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols),
             vals=jnp.asarray(vals),
             _m=m,
             _ncols=ncols,

@@ -133,6 +133,64 @@ class ShardedEllSpMM(LinearOperator):
         )(self.cols, self.vals, X)
 
 
+def _banded_coo_shards(A, ndev, dtype, mesh, axis):
+    """Split a scipy matrix into ``ndev`` row bands of row-sorted COO
+    triplets, padded to the max per-band nnz (uniform shard shapes), and
+    device_put over the mesh axis.  Pad slots target the band's last local
+    row with val 0 — zero contribution, ascending rows preserved (the
+    ``indices_are_sorted=True`` segment_sum contract).  Returns the three
+    sharded flat arrays."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    ml = A.shape[0] // ndev
+    dtype = np.dtype(dtype or A.dtype)
+    shards = []
+    for d in range(ndev):
+        band = A[d * ml : (d + 1) * ml].tocoo()
+        order = np.argsort(band.row, kind="stable")
+        shards.append((band.row[order], band.col[order], band.data[order]))
+    cap = max(max(len(s[0]) for s in shards), 1)
+    rows = np.full((ndev, cap), ml - 1, np.int32)
+    cols = np.zeros((ndev, cap), np.int32)
+    vals = np.zeros((ndev, cap), dtype)
+    for d, (r, c, v) in enumerate(shards):
+        rows[d, : len(r)] = r
+        cols[d, : len(c)] = c
+        vals[d, : len(v)] = v.astype(dtype)
+    sh = NamedSharding(mesh, P(axis))
+    return (
+        jax.device_put(rows.reshape(-1), sh),
+        jax.device_put(cols.reshape(-1), sh),
+        jax.device_put(vals.reshape(-1), sh),
+    )
+
+
+def _sharded_coo_apply(op, X, nrows_local):
+    """Shared shard_map body for the row-banded COO operators: all-gather
+    the input block over ICI, gather + sorted segment_sum into the local
+    band, accumulating in ``_pet(X.dtype)`` (bf16 inputs segment-sum in
+    f32, matching the single-device CooOperator/RectCooOperator)."""
+    from ..ops.spmm.operator import _pet
+
+    def local_apply(rows_l, cols_l, vals_l, x_local):
+        x_full = jax.lax.all_gather(x_local, op.axis, axis=0, tiled=True)
+        contrib = (
+            vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
+        ).astype(_pet(x_local.dtype))
+        return jax.ops.segment_sum(
+            contrib, rows_l, num_segments=nrows_local, indices_are_sorted=True
+        ).astype(x_local.dtype)
+
+    return jax.shard_map(
+        local_apply,
+        mesh=op.mesh,
+        in_specs=(P(op.axis), P(op.axis), P(op.axis), P(op.axis, None)),
+        out_specs=P(op.axis, None),
+    )(op.rows, op.cols, op.vals, X)
+
+
 @register_operator
 @dataclasses.dataclass(frozen=True)
 class ShardedCooSpMM(LinearOperator):
@@ -162,55 +220,15 @@ class ShardedCooSpMM(LinearOperator):
 
     @classmethod
     def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
-        import numpy as np
-        import scipy.sparse as sp
-
-        A = sp.csr_matrix(A)
         n = A.shape[0]
         ndev = mesh.shape[axis]
         if n % ndev:
             raise ValueError(f"n={n} not divisible by mesh axis size {ndev}")
-        nl = n // ndev
-        dtype = np.dtype(dtype or A.dtype)
-        shards = []
-        for d in range(ndev):
-            band = A[d * nl : (d + 1) * nl].tocoo()
-            order = np.argsort(band.row, kind="stable")
-            shards.append(
-                (band.row[order], band.col[order], band.data[order])
-            )
-        cap = max(max(len(s[0]) for s in shards), 1)
-        rows = np.full((ndev, cap), nl - 1, np.int32)  # pad: local last row,
-        cols = np.zeros((ndev, cap), np.int32)         # val 0 — keeps the
-        vals = np.zeros((ndev, cap), dtype)            # row array ascending
-        for d, (r, c, v) in enumerate(shards):
-            rows[d, : len(r)] = r
-            cols[d, : len(c)] = c
-            vals[d, : len(v)] = v.astype(dtype)
-        sh = NamedSharding(mesh, P(axis))
-        return cls(
-            rows=jax.device_put(rows.reshape(-1), sh),
-            cols=jax.device_put(cols.reshape(-1), sh),
-            vals=jax.device_put(vals.reshape(-1), sh),
-            _n=n, mesh=mesh, axis=axis,
-        )
+        rows, cols, vals = _banded_coo_shards(A, ndev, dtype, mesh, axis)
+        return cls(rows=rows, cols=cols, vals=vals, _n=n, mesh=mesh, axis=axis)
 
     def apply(self, X):
-        nl = self._n // self.mesh.shape[self.axis]
-
-        def local_apply(rows_l, cols_l, vals_l, x_local):
-            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
-            contrib = vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
-            return jax.ops.segment_sum(
-                contrib, rows_l, num_segments=nl, indices_are_sorted=True
-            ).astype(x_local.dtype)
-
-        return jax.shard_map(
-            local_apply,
-            mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis, None)),
-            out_specs=P(self.axis, None),
-        )(self.rows, self.cols, self.vals, X)
+        return _sharded_coo_apply(self, X, self._n // self.mesh.shape[self.axis])
 
 
 @register_operator
@@ -243,52 +261,17 @@ class ShardedRectCooSpMM:
 
     @classmethod
     def from_scipy(cls, B, mesh, axis: str = "rows", dtype=None):
-        import numpy as np
-        import scipy.sparse as sp
-
-        B = sp.csr_matrix(B)
         m, n = B.shape
         ndev = mesh.shape[axis]
         if m % ndev or n % ndev:
             raise ValueError(
                 f"shape {B.shape} not divisible by mesh axis size {ndev}"
             )
-        ml = m // ndev
-        dtype = np.dtype(dtype or B.dtype)
-        shards = []
-        for d in range(ndev):
-            band = B[d * ml : (d + 1) * ml].tocoo()
-            order = np.argsort(band.row, kind="stable")
-            shards.append((band.row[order], band.col[order], band.data[order]))
-        cap = max(max(len(s[0]) for s in shards), 1)
-        rows = np.full((ndev, cap), ml - 1, np.int32)  # pad: local last row,
-        cols = np.zeros((ndev, cap), np.int32)         # val 0 (ascending-
-        vals = np.zeros((ndev, cap), dtype)            # rows invariant kept)
-        for d, (r, c, v) in enumerate(shards):
-            rows[d, : len(r)] = r
-            cols[d, : len(c)] = c
-            vals[d, : len(v)] = v.astype(dtype)
-        sh = NamedSharding(mesh, P(axis))
+        rows, cols, vals = _banded_coo_shards(B, ndev, dtype, mesh, axis)
         return cls(
-            rows=jax.device_put(rows.reshape(-1), sh),
-            cols=jax.device_put(cols.reshape(-1), sh),
-            vals=jax.device_put(vals.reshape(-1), sh),
+            rows=rows, cols=cols, vals=vals,
             _m=m, _ncols=n, mesh=mesh, axis=axis,
         )
 
     def apply(self, X):
-        ml = self._m // self.mesh.shape[self.axis]
-
-        def local_apply(rows_l, cols_l, vals_l, x_local):
-            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
-            contrib = vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
-            return jax.ops.segment_sum(
-                contrib, rows_l, num_segments=ml, indices_are_sorted=True
-            ).astype(x_local.dtype)
-
-        return jax.shard_map(
-            local_apply,
-            mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis, None)),
-            out_specs=P(self.axis, None),
-        )(self.rows, self.cols, self.vals, X)
+        return _sharded_coo_apply(self, X, self._m // self.mesh.shape[self.axis])

@@ -141,7 +141,16 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
         if r == 0:
             lock = None
         else:
-            lock = jnp.asarray(u[:, :r], dtype=cfg.basis_dtype)
+            # Zero-pad the lock to a bucketed width (power of two, min 8):
+            # incremental next-k usage grows the deflate span by k per
+            # call, and an exact-width lock would recompile the whole
+            # sweep kernel family at every new width (each remote compile
+            # is ~20-60 s).  Padding columns project nothing — the same
+            # zero-padding contract as the restarted lock buffer.
+            width = min(max(8, 1 << (r - 1).bit_length()), n)
+            buf = np.zeros((n, width), dtype=u.dtype)
+            buf[:, :r] = u[:, :r]
+            lock = jnp.asarray(buf, dtype=cfg.basis_dtype)
             if sharding is not None:
                 lock = jax.device_put(lock, sharding)
     max_kryl = clamp_kryl_dim(

@@ -74,12 +74,16 @@ def rbl_svd(
     b: Optional[int] = None,
     cfg: Optional[RBLConfig] = None,
     timer=None,
+    v0: Optional[Any] = None,
 ) -> SVDResult:
     """Top-k truncated SVD of a dense (m, n) factor B: B ≈ U·diag(s)·Vᵀ.
 
     Runs randomized block Lanczos on the matrix-free Gram operator of B's
     smaller side and recovers the cross factor with one MXU GEMM (the
     reference's images.jl:21-25 pattern, lifted out of the demo script).
+
+    ``v0`` (scipy ``svds`` convention) seeds the first column of the
+    sampling block on the Gram side: length ``min(m, n)``.
     """
     from .rbl import rbl
 
@@ -123,7 +127,7 @@ def rbl_svd(
             except ValueError:
                 op = None
         if op is not None:
-            res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
+            res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer, v0=v0)
             return _assemble_svd(res, k, cfg, m, n, left, op=op)
     Bd = jnp.asarray(
         B.toarray() if hasattr(B, "toarray") else B, dtype=cfg.compute_dtype
@@ -144,7 +148,7 @@ def rbl_svd(
         spec = P(cfg.rows_axis, None) if left else P(None, cfg.rows_axis)
         Bd = jax.device_put(Bd, NamedSharding(cfg.mesh, spec))
     op = GramOperator(B=Bd, left=left)
-    res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer)
+    res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer, v0=v0)
     return _assemble_svd(res, k, cfg, m, n, left, Bd=Bd)
 
 

@@ -80,6 +80,23 @@ class TestEigsh:
         R = A @ V - V * w[None, :]
         assert np.linalg.norm(R, axis=0).max() < 1e-6
 
+    def test_be_k_exceeding_n_raises(self):
+        # each BE half-solve passes its own kk <= n check, so without the
+        # up-front guard k > n silently returned duplicated/wrong values
+        A = sp.diags(np.linspace(1.0, 8.0, 8))
+        with pytest.raises(ValueError):
+            rt.eigsh(A, k=10, which="BE")
+
+    def test_be_honors_explicit_block_size(self):
+        # an explicit b must not be shrunk on the BE path (it used to be
+        # clamped to _default_block(kk) of the half-solve)
+        A = _sym_sparse(seed=7)
+        w = rt.eigsh(A, k=4, which="BE", b=16, tol=1e-9,
+                     return_eigenvectors=False)
+        w_ref = sla.eigsh(A, k=4, which="BE", tol=1e-10,
+                          return_eigenvectors=False)
+        np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-6)
+
     def test_unsupported_modes_raise(self):
         A = _sym_sparse()
         with pytest.raises(NotImplementedError):
@@ -122,6 +139,28 @@ class TestSvds:
     def test_which_sm_raises(self):
         with pytest.raises(NotImplementedError):
             rt.svds(np.eye(10), k=2, which="SM")
+
+    def test_random_state_generator_and_randomstate(self):
+        # scipy accepts int | Generator | RandomState — all must work
+        rng = np.random.default_rng(2)
+        B = rng.standard_normal((50, 30))
+        s_exact = np.sort(np.linalg.svd(B, compute_uv=False)[:3])
+        for rs in (7, np.random.default_rng(7), np.random.RandomState(7)):
+            s = rt.svds(B, k=3, return_singular_vectors=False,
+                        random_state=rs)
+            np.testing.assert_allclose(s, s_exact, rtol=1e-9)
+
+    def test_v0_is_forwarded(self):
+        # v0 seeds the Gram-side start block (scipy: length min(m, n));
+        # a wrong-length v0 must raise instead of being silently ignored
+        rng = np.random.default_rng(3)
+        B = rng.standard_normal((60, 40))
+        v0 = rng.standard_normal(40)  # min(m, n) = 40 (right Gram side)
+        s = rt.svds(B, k=3, v0=v0, return_singular_vectors=False)
+        s_exact = np.sort(np.linalg.svd(B, compute_uv=False)[:3])
+        np.testing.assert_allclose(s, s_exact, rtol=1e-9)
+        with pytest.raises(ValueError):
+            rt.svds(B, k=3, v0=rng.standard_normal(60))
 
 
 def test_reference_gpu_entry_aliases():

@@ -86,6 +86,35 @@ def test_sharded_coo_spmm_matches_scipy(eight_devices):
     np.testing.assert_allclose(out, A @ X, atol=1e-12)
 
 
+def test_sharded_coo_bf16_accumulates_in_f32(eight_devices):
+    """Sub-f32 inputs must segment-sum in f32 (the _pet upcast), matching
+    the single-device CooOperator: with a few long rows summing thousands
+    of entries, raw bf16 accumulation loses ~2^-8 relative per row."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.ops.spmm.coo import CooOperator
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+
+    mesh = make_row_mesh(8)
+    n, b = 512, 4
+    rng = np.random.default_rng(9)
+    M = sp.lil_matrix((n, n))
+    for r in rng.choice(n, 4, replace=False):  # long rows: the skew case
+        M[r, :] = rng.standard_normal(n)
+    A = sp.csr_matrix(M + M.T)
+    X = rng.standard_normal((n, b))
+    Xb = jnp.asarray(X, dtype=jnp.bfloat16)
+    ref = np.asarray(
+        CooOperator.from_scipy(A, dtype=np.float32).apply(Xb), dtype=np.float64
+    )
+    op = ShardedCooSpMM.from_scipy(A, mesh, dtype=np.float32)
+    out = np.asarray(op.apply(shard_rows(Xb, mesh)), dtype=np.float64)
+    # identical accumulation dtype → near-identical results (the all-gather
+    # keeps bf16 for X itself; only the reduction is upcast)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=2e-3 * scale)
+
+
 def test_sharded_coo_solve_end_to_end(eight_devices):
     """Sharded-COO operator through the full solver vs dense eigh."""
     import scipy.sparse as sp

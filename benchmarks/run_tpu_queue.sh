@@ -27,8 +27,9 @@ cfg = rt.RBLConfig(block_size=8, basis_dtype=jnp.float32,
                    compute_dtype=jnp.float32, qr_method="cholqr2",
                    tol=1e-3, max_kryl_dim=768, eig_poll_cadence=16)
 rt.rbl(op, 50, cfg=cfg)  # warm epoch (compiles)
+# fresh seed: byte-identical re-runs can be served from a backend cache
 t0 = time.perf_counter()
-res = rt.rbl(op, 50, cfg=cfg)
+res = rt.rbl(op, 50, cfg=cfg.replace(seed=1))
 float(res.eigenvectors[0, 0])
 print(json.dumps({"metric": "lap2d_1024_k50_b8_f32", "value":
                   round(time.perf_counter() - t0, 3), "unit": "s"}))

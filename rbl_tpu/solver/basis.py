@@ -195,7 +195,10 @@ class BasisStore:
             w = panel.shape[1]
             if col < base + w:
                 assert col - base + width <= w, "block straddles panels"
-                part = jax.device_put(panel)  # host → default device memory
+                # host → device memory, matching the device tier's sharding
+                # (a target-less device_put is a no-op on a pinned_host
+                # array — it stays in host memory)
+                part = jax.device_put(panel, self.buf.sharding)
                 return jax.lax.dynamic_slice(
                     part, (jnp.int32(0), jnp.int32(col - base)),
                     (self.n, width),

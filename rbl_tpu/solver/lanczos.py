@@ -96,7 +96,7 @@ def _poll_task(snapshot, k, backend, chain, tol, force_full):
         <= tol * max(np.abs(w_scr).max(), np.finfo(np.float64).tiny)
     )
     full = None
-    if stable or force_full:
+    if stable:
         full = factorize()
     chain["w"] = w_scr
     return w_scr, w_prev, full
@@ -678,53 +678,72 @@ def lanczos_iteration(
             if store.host_ncols and reorth_pattern.count(True):
                 # Hybrid reorth, host tier (reference hybrid_part_reorth!,
                 # RBL_gpu.jl:59-81), re-designed for T-consistency: the
-                # offloaded panels re-enter the device once per poll window
-                # and project the window's FIRST newborn residual U before
-                # its QR.  They must never scrub the live pair (Qi, Qprev):
+                # offloaded panels re-enter the device and project EVERY
+                # full-scrub newborn residual U before its QR (a split
+                # step); runs of local-only steps between full scrubs stay
+                # fused in one dispatch.  One split step per window is NOT
+                # enough: leaks along offloaded dominant directions
+                # re-amplify by ~|λ|max/|λ|min per step, so a window's later
+                # full scrubs seeing only the device tier lose the basis
+                # (measured ‖QᵀQ−I‖ 1.5e-15 → 3.9e-6 starting exactly at
+                # the offload boundary, wrong eigenvalues downstream).
+                # The panels must never scrub the live pair (Qi, Qprev):
                 # those blocks' T couplings (A_{i-1}, B_i) are already
                 # recorded, and a retroactive edit makes T ≠ QᵀAQ by
                 # O(‖leak‖·‖A‖) — measured ~1e-7 eigenvalue error at the
-                # device cap under the live-pair scheme.  The split step
-                # always runs the full (device tier + panels + Q_i) scrub,
-                # regardless of reorth_pattern[0]; the window's remaining
-                # steps fuse into the normal chunk and see only the device
-                # tier, exactly like the old scheme.
-                buf, U, Ai0 = _split_step_recur(
-                    op, store.buf, dev[0], dev[1], dev[2], col0_rel, cdt=cdt
-                )
-                # Panel-major, not pass-major: each host panel is
-                # transferred H→D once and projected npass times
-                # consecutively.  Pass-major (the textbook BCGS2 sweep
-                # order) would either re-transfer the whole host tier per
-                # pass or pin every panel in HBM at once — and the tier
-                # exists precisely because HBM is full.  Reordering is
-                # safe here because the panels are mutually orthonormal to
-                # basis precision: cross-panel re-injection from a later
-                # projection is O(‖QᵢᵀQⱼ‖·eps·‖U‖), far below the CGS2
-                # floor.
-                for _ in range(npass):
-                    U = _project_out_jit(buf, U)
-                for panel in store.host_tier():
-                    pd = jax.device_put(panel, store.buf.sharding)
-                    for _ in range(npass):
-                        U = _project_out_jit(pd, U)
-                for _ in range(npass):
-                    U = _project_out_jit(dev[0], U)
-                Q1, B1 = _split_step_qr(
-                    U, lock_basis, qr_method=qr_method, bdt=dev[0].dtype
-                )
-                TB0 = jnp.stack([Ai0, B1.astype(Ai0.dtype)])
-                if S > 1:
-                    buf, Qi_n, Qprev_n, Bi_n, TB1 = _sweep_chunk(
-                        op, buf, Q1, dev[0], B1, col0_rel + b, lock_basis,
-                        cdt=cdt, qr_method=qr_method, nsteps=S - 1,
-                        reorth_pattern=reorth_pattern[1:],
-                        loc_passes=cfg.loc_reorth_passes,
-                        reorth_passes=npass,
-                    )
-                    TB = jnp.concatenate([TB0, TB1], axis=0)
-                else:
-                    Qi_n, Qprev_n, Bi_n, TB = Q1, dev[0], B1, TB0
+                # device cap under the live-pair scheme.
+                buf = store.buf
+                Qi_n, Qprev_n, Bi_n = dev
+                bdt_ = dev[0].dtype
+                col = col0_rel
+                TBs = []
+                s = 0
+                while s < S:
+                    if reorth_pattern[s]:
+                        buf, U, Ai0 = _split_step_recur(
+                            op, buf, Qi_n, Qprev_n, Bi_n, col, cdt=cdt
+                        )
+                        # Panel-major, not pass-major: each host panel is
+                        # transferred H→D once and projected npass times
+                        # consecutively.  Pass-major (the textbook BCGS2
+                        # sweep order) would either re-transfer the whole
+                        # host tier per pass or pin every panel in HBM at
+                        # once — and the tier exists precisely because HBM
+                        # is full.  Reordering is safe here because the
+                        # panels are mutually orthonormal to basis
+                        # precision: cross-panel re-injection from a later
+                        # projection is O(‖QᵢᵀQⱼ‖·eps·‖U‖), far below the
+                        # CGS2 floor.
+                        for _ in range(npass):
+                            U = _project_out_jit(buf, U)
+                        for panel in store.host_tier():
+                            pd = jax.device_put(panel, store.buf.sharding)
+                            for _ in range(npass):
+                                U = _project_out_jit(pd, U)
+                        for _ in range(npass):
+                            U = _project_out_jit(Qi_n, U)
+                        Q1, B1 = _split_step_qr(
+                            U, lock_basis, qr_method=qr_method, bdt=bdt_
+                        )
+                        TBs.append(jnp.stack([Ai0, B1.astype(Ai0.dtype)]))
+                        Qi_n, Qprev_n, Bi_n = Q1, Qi_n, B1
+                        col = col + b
+                        s += 1
+                    else:
+                        e = s
+                        while e < S and not reorth_pattern[e]:
+                            e += 1
+                        buf, Qi_n, Qprev_n, Bi_n, TBseg = _sweep_chunk(
+                            op, buf, Qi_n, Qprev_n, Bi_n, col, lock_basis,
+                            cdt=cdt, qr_method=qr_method, nsteps=e - s,
+                            reorth_pattern=reorth_pattern[s:e],
+                            loc_passes=cfg.loc_reorth_passes,
+                            reorth_passes=npass,
+                        )
+                        TBs.append(TBseg)
+                        col = col + (e - s) * b
+                        s = e
+                TB = jnp.concatenate(TBs, axis=0) if len(TBs) > 1 else TBs[0]
             else:
                 buf, Qi_n, Qprev_n, Bi_n, TB = _sweep_chunk(
                     op, store.buf, dev[0], dev[1], dev[2],
@@ -1270,6 +1289,13 @@ def lanczos_iteration(
     # converged path this mirrors the reference's final push (RBL.jl:113),
     # on the cap path its final append before recovery
     store.append(Qprev)
+
+    if converged:
+        # a prefix poll may have converged mid-chunk: the harvest rewound
+        # the store to the poll's panel prefix, so the chunk's iteration
+        # counter overstates the basis.  nblocks must match V_sel's rows
+        # (the documented contract: V_sel has nblocks·b rows).
+        i = store.ncols // b
 
     if not converged:
         # Cap reached: final Rayleigh–Ritz with everything we have.  (The

@@ -158,6 +158,14 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
         n_devices=(cfg.mesh.devices.size if cfg.mesh is not None else 1),
         budget_fraction=cfg.hbm_budget_fraction,
     )
+    if max_kryl < k:
+        # The final Rayleigh–Ritz can produce at most max_kryl pairs;
+        # proceeding would silently return fewer than k eigenpairs.
+        raise ValueError(
+            f"k={k} exceeds the Krylov cap {max_kryl} "
+            f"({'HBM-clamped from ' + str(cfg.max_kryl_dim) if max_kryl < cfg.max_kryl_dim else 'cfg.max_kryl_dim'}) — "
+            "raise max_kryl_dim, shrink the problem, or add devices"
+        )
     cfg = cfg.replace(max_kryl_dim=max_kryl)
 
     key = jax.random.PRNGKey(cfg.seed)

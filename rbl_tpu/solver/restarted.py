@@ -155,27 +155,42 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             op, sweep_cfg, state.Qi, store, state.lock_buf, timer,
             k_rem=max(k - state.count, 1),
         )
+        # Converged prefix: pairs are locked in order until the first
+        # unconverged one (which seeds the restart) or k is reached.
         ncomp = 0
-        next_start = None
-        for j in range(len(w)):
-            if state.count + ncomp >= k:
-                break
-            if bounds[j] < cfg.tol:
-                qv = recover_eigvec(store, V[:, j : j + 1])
-                qv = qv / jnp.linalg.norm(qv)
+        while (
+            state.count + ncomp < k
+            and ncomp < len(w)
+            and bounds[ncomp] < cfg.tol
+        ):
+            ncomp += 1
+        if ncomp:
+            # ONE batched basis GEMM for all newly locked pairs (per-pair
+            # recovery cost ncomp full basis reads + ncomp dispatches, each
+            # a ~30 ms RPC on the remote-attached TPU).  The recovery width
+            # is padded to the FIXED lock_cols so every restart reuses the
+            # same compiled shape; zero columns recover to zero and are
+            # normalized against 1.
+            Vp = np.zeros((V.shape[0], lock_cols), dtype=np.asarray(V).dtype)
+            Vp[:, :ncomp] = np.asarray(V)[:, :ncomp]
+            QV = recover_eigvec(store, Vp)
+            nrm = jnp.linalg.norm(QV, axis=0)
+            QV = QV / jnp.where(nrm > 0, nrm, 1.0)
+            for t in range(ncomp):
                 state.lock_buf = _write_block(
-                    state.lock_buf, qv, jnp.int32(state.count + ncomp)
+                    state.lock_buf, QV[:, t : t + 1],
+                    jnp.int32(state.count + t),
                 )
-                state.locked_values[state.count + ncomp] = w[j]
-                ncomp += 1
-            else:
-                # restart block: the first b unconverged Ritz vectors (the
-                # reference takes one, b=1 — restarted.jl:131-133); fewer
-                # than b available → pad with fresh randomness, which the
-                # sweep entry deflates and re-orthonormalizes
-                width = min(b, V.shape[1] - j)
-                next_start = recover_eigvec(store, V[:, j : j + width])
-                break
+            state.locked_values[state.count : state.count + ncomp] = w[:ncomp]
+        next_start = None
+        j = ncomp
+        if state.count + ncomp < k and j < len(w):
+            # restart block: the first b unconverged Ritz vectors (the
+            # reference takes one, b=1 — restarted.jl:131-133); fewer
+            # than b available → pad with fresh randomness, which the
+            # sweep entry deflates and re-orthonormalizes
+            width = min(b, V.shape[1] - j)
+            next_start = recover_eigvec(store, V[:, j : j + width])
         state.count += ncomp
         state.kryl_dim += cfg.restart_growth
         state.restarts += 1

@@ -246,6 +246,38 @@ def test_basis_store_host_offload_solve():
     assert resid.max() < 1e-6 * d.max()
 
 
+def test_host_offload_dominant_spectrum_orthogonality():
+    """Offload + dominant outliers: EVERY full-scrub step inside a fused
+    chunk must see the host tier, not just the window's first.  Leaks along
+    offloaded dominant directions re-amplify ~|λ|max/|λ|min per step, so a
+    once-per-window host projection loses the basis (measured ‖QᵀQ−I‖
+    1.5e-15 → 3.9e-6 starting exactly at the offload boundary, and wrong
+    eigenvalues: 26.2 reported where 85 belongs)."""
+    import scipy.sparse as sp
+
+    import rbl_tpu as rt
+
+    n, k, b = 300, 6, 4
+    d = np.linspace(1.0, 50.0, n)
+    d[:3] = [-80.0, 85.0, 90.0]  # dominant outliers atop the bulk
+    A = sp.diags(d)
+    base = rt.RBLConfig(block_size=b, max_kryl_dim=160)
+    res = rt.rbl(A, k, b, cfg=base.replace(basis_device_cap_cols=64))
+    expect = d[np.argsort(-np.abs(d))][:k]
+    # the bug reported 26.2 where 85 belongs; the healthy (cap-limited)
+    # solve converges the slowest bulk pair to ~1e-8 relative
+    np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-7)
+    # offload must reproduce the all-device solve: identical eigenvalues
+    # and true residuals, orthonormal returned vectors
+    ctrl = rt.rbl(A, k, b, cfg=base)
+    np.testing.assert_allclose(res.eigenvalues, ctrl.eigenvalues, rtol=1e-10)
+    np.testing.assert_allclose(
+        res.residual_bounds, ctrl.residual_bounds, rtol=1e-3, atol=1e-12
+    )
+    V = np.asarray(res.eigenvectors)
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-10
+
+
 def test_host_offload_T_consistency():
     """With offload active, T must equal QᵀAQ to rounding: host-tier
     reorthogonalization applies to the newborn residual at birth (the
@@ -283,6 +315,31 @@ def test_host_offload_T_consistency():
     Td = band_to_dense(T.view(store.ncols))
     QtAQ = Q.T @ (d[:, None] * Q)
     assert np.abs(Td - QtAQ).max() < 1e-10 * d.max()
+
+
+def test_k_beyond_krylov_cap_raises():
+    """A Krylov cap below k cannot produce k Rayleigh–Ritz pairs; the
+    solver must raise instead of silently returning fewer eigenpairs."""
+    import pytest
+
+    import rbl_tpu as rt
+
+    d = np.arange(1.0, 101.0)
+    with pytest.raises(ValueError):
+        rt.rbl(d, 10, cfg=rt.RBLConfig(block_size=4, max_kryl_dim=8))
+
+
+def test_iterations_matches_kryl_dim_on_early_convergence():
+    """Early convergence via a prefix poll rewinds the basis; the reported
+    iteration count must match the final basis (iterations·b == kryl_dim ==
+    V rows), not the speculated chunk's counter."""
+    import rbl_tpu as rt
+
+    n, k, b = 400, 4, 4
+    d = np.zeros(n)
+    d[:8] = [100.0, 90.0, 80.0, 70.0, 2.0, 1.5, 1.2, 1.1]  # fast converger
+    res = rt.rbl(d, k, b, cfg=rt.RBLConfig(block_size=b, max_kryl_dim=256))
+    assert res.iterations * b == res.kryl_dim
 
 
 def test_breakdown_rerandomization_low_rank():

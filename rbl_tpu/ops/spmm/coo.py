@@ -89,8 +89,10 @@ def _pad_sorted_triplets(rows, cols, vals, last_row):
 class CooOperator(LinearOperator):
     """Symmetric sparse operator as row-sorted COO triplets.
 
-    rows/cols: (nnz_pad,) int32, sorted by row; padding slots have val 0
-    and row/col 0 (they contribute nothing to the segment sum).
+    rows/cols: (nnz_pad,) int32, sorted by row; padding slots target the
+    LAST row (col 0, val 0 — zero contribution) so the row array stays
+    ascending, which segment_sum's ``indices_are_sorted=True`` contract
+    requires (see ``_pad_sorted_triplets``).
     """
 
     rows: jax.Array

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .operator import LinearOperator, register_operator, static_field
+from .operator import LinearOperator, _pet, register_operator, static_field
 
 # Design note (why there is no Pallas DIA kernel): the natural VMEM-resident
 # formulation founders on lane padding — an (n, b) block with b ≈ 8 pads to
@@ -71,11 +71,13 @@ class DiaOperator(LinearOperator):
         n = self._n
         m = self._halo
         Xp = jnp.pad(X, ((m, m), (0, 0)))
-        Y = jnp.zeros_like(X)
+        # accumulate in _pet(X.dtype): sub-f32 inputs sum k_diags products
+        # per row — same upcast as the COO/ELL/BSR paths
+        Y = jnp.zeros(X.shape, dtype=_pet(X.dtype))
         for d, off in enumerate(self.offsets):
             # row r reads column r + off  →  Xp[m + off + r]
-            Y = Y + self.data[d][:, None] * Xp[m + off : m + off + n]
-        return Y
+            Y = Y + (self.data[d][:, None] * Xp[m + off : m + off + n]).astype(Y.dtype)
+        return Y.astype(X.dtype)
 
     @classmethod
     def from_scipy(cls, A, dtype=None, max_diags: int = 256):

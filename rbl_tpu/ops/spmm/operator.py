@@ -328,14 +328,15 @@ def _pick_sparse_format(A, dtype) -> str:
     has no f64); everything else to the portable ELL scan."""
     import numpy as _np
 
+    from .dia import count_diagonals
+
     n = A.shape[0]
     coo = A.tocoo()
-    ndiags = len(
-        _np.unique(coo.col.astype(_np.int64) - coo.row.astype(_np.int64))
-    )
-    if ndiags <= 64:
+    if count_diagonals(A) <= 64:
         return "dia"
-    itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 8
+    # the operator is built at dtype or, when unspecified, A's own dtype —
+    # an f32/bf16 matrix with dtype=None must still reach the BSR branch
+    itemsize = jnp.dtype(dtype if dtype is not None else A.dtype).itemsize
     if jax.default_backend() == "tpu" and itemsize <= 4:
         nb = -(-n // 128)
         blocks = len(

@@ -50,6 +50,10 @@ class ShardedLaplacian2D(LinearOperator):
 
     def apply(self, X):
         ndev = self.mesh.shape[self.axis]
+        if self.nx % ndev:
+            raise ValueError(
+                f"nx={self.nx} not divisible by mesh axis size {ndev}"
+            )
         nx_local = self.nx // ndev
         ny = self.ny
 
@@ -106,6 +110,11 @@ class ShardedEllSpMM(LinearOperator):
     def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
         from ..ops.spmm.ell import SparseEllOperator
 
+        ndev = mesh.shape[axis]
+        if A.shape[0] % ndev:
+            raise ValueError(
+                f"n={A.shape[0]} not divisible by mesh axis size {ndev}"
+            )
         ell = SparseEllOperator.from_scipy(A, dtype=dtype)
         sh = NamedSharding(mesh, P(None, axis))
         return cls(
@@ -115,15 +124,26 @@ class ShardedEllSpMM(LinearOperator):
         )
 
     def apply(self, X):
+        from ..ops.spmm.operator import _pet
+
         def local_apply(cols_l, vals_l, x_local):
             x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+            acc_dt = _pet(x_local.dtype)
 
             def body(acc, row):
                 c, v = row
-                return acc + v[:, None] * jnp.take(x_full, c, axis=0), None
+                return acc + (
+                    v[:, None] * jnp.take(x_full, c, axis=0)
+                ).astype(acc_dt), None
 
-            out, _ = jax.lax.scan(body, jnp.zeros_like(x_local), (cols_l, vals_l))
-            return out
+            out, _ = jax.lax.scan(
+                body,
+                # zeros_like keeps x_local's shard_map varying axes (a
+                # fresh jnp.zeros is unvarying → carry type mismatch)
+                jnp.zeros_like(x_local, dtype=acc_dt),
+                (cols_l, vals_l),
+            )
+            return out.astype(x_local.dtype)
 
         return jax.shard_map(
             local_apply,

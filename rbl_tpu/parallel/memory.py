@@ -66,6 +66,10 @@ def clamp_kryl_dim(cfg_max: int, n: int, block_size: int, basis_dtype,
         n, b, basis_dtype, compute_dtype, operator_bytes,
         n_devices=n_devices, budget_fraction=budget_fraction,
     )
-    if hbm is not None and hbm > 0:
+    if hbm is not None:
+        # hbm == 0 is a real answer (zero basis blocks fit), not "unknown":
+        # the max(cap, b) floor below keeps one block, and the caller's
+        # k-vs-cap guard turns exhaustion into a clean ValueError instead
+        # of an opaque device OOM
         cap = min(cap, hbm)
     return max(cap, b)

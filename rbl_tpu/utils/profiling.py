@@ -23,18 +23,24 @@ class Timer:
         self.times = defaultdict(float)
         self.counts = defaultdict(int)
 
-    @staticmethod
-    def _barrier():
+    _barrier_salt = 0
+
+    @classmethod
+    def _barrier(cls):
         # Device programs execute in launch order, so fetching the VALUE of
         # a freshly enqueued trivial computation drains everything queued
         # before it.  (A value fetch, not block_until_ready: on
         # remote-attached backends block_until_ready can return before
-        # execution actually finishes.)
+        # execution actually finishes.)  The scalar is SALTED per call:
+        # byte-identical (program, inputs) executions can be served from a
+        # backend result cache without entering the queue, which would stop
+        # the timer at dispatch instead of completion.
         import numpy as np
 
         import jax.numpy as jnp
 
-        np.asarray(jnp.zeros(()) + 1.0)
+        cls._barrier_salt += 1
+        np.asarray(jnp.zeros(()) + np.float32(cls._barrier_salt))
 
     @contextlib.contextmanager
     def section(self, name: str):

@@ -199,3 +199,39 @@ def test_hyb_solver_end_to_end():
     np.testing.assert_allclose(D, ref, rtol=1e-9)
     resid = np.linalg.norm(A @ np.asarray(V) - np.asarray(V) * D[None, :], axis=0)
     assert resid.max() < 1e-6 * np.abs(D).max()
+
+
+def test_ell_dia_bf16_accumulate_in_f32():
+    """Sub-f32 inputs must accumulate in f32 across ALL formats (the _pet
+    upcast): a bf16 scan over ~n products per row loses ~L·2⁻⁸ relative.
+    ELL and DIA are checked against the f64 ground truth at a tolerance a
+    raw-bf16 accumulation fails by an order of magnitude."""
+    n, b = 256, 4
+    rng = np.random.default_rng(12)
+    # one dense band: every row sums ~n/4 products — accumulation-hostile
+    A = _banded(n, list(range(-24, 25)), seed=12)
+    X = rng.standard_normal((n, b))
+    Xb = jnp.asarray(X, dtype=jnp.bfloat16)
+    ref = A @ np.asarray(Xb, dtype=np.float64)
+    scale = np.abs(ref).max()
+    for op in (
+        SparseEllOperator.from_scipy(A, dtype=np.float32),
+        DiaOperator.from_scipy(A, dtype=np.float32),
+    ):
+        out = np.asarray(op @ Xb, dtype=np.float64)
+        assert np.abs(out - ref).max() < 3e-3 * scale, type(op).__name__
+
+
+def test_auto_routing_uses_matrix_dtype_when_unspecified():
+    """_pick_sparse_format must gate the (TPU-only) BSR branch on the
+    dtype the operator will actually be built with — A.dtype when the
+    caller passes none — not on a hardcoded f64 default.  On the CPU test
+    backend the BSR branch is unreachable, so assert via the format
+    probe's itemsize logic directly."""
+    from rbl_tpu.ops.spmm.operator import _pick_sparse_format
+
+    A = _random_sym(600, 0.05, seed=13).astype(np.float32)
+    # blocky enough to pass the fill gate if the backend were TPU; here we
+    # only check the probe doesn't crash and routes consistently for both
+    # explicit and inherited dtype
+    assert _pick_sparse_format(A, None) == _pick_sparse_format(A, np.float32)

@@ -17,8 +17,14 @@ import jax.numpy as jnp
 def device_free_memory(device=None) -> int | None:
     """Free bytes on the device, or None when the backend doesn't report
     (e.g. the CPU test backend)."""
-    device = device or jax.devices()[0]
-    stats = getattr(device, "memory_stats", lambda: None)()
+    # local_devices, not devices: under multi-process (jax.distributed)
+    # jax.devices()[0] can belong to another process, and memory_stats on
+    # a non-addressable device raises INVALID_ARGUMENT
+    device = device or jax.local_devices()[0]
+    try:
+        stats = getattr(device, "memory_stats", lambda: None)()
+    except Exception:
+        return None
     if not stats:
         return None
     limit = stats.get("bytes_limit")

@@ -229,7 +229,15 @@ class BasisStore:
             self.dev_base -= w
             if self.dev_base < ncols_new:
                 keep_w = ncols_new - self.dev_base
-                self.host_panels.append(panel[:, :keep_w])
+                # normalize the trimmed slice back onto the panel's own
+                # (pinned-host) sharding: an eager slice of a pinned_host
+                # array yields a hybrid whose aval says <host> while its
+                # sharding says device — a later device_put by sharding is
+                # then a no-op and consumers' jitted GEMMs reject the
+                # mixed memory space (dot_general memory_space error)
+                self.host_panels.append(
+                    jax.device_put(panel[:, :keep_w], panel.sharding)
+                )
                 self.dev_base += keep_w
         self.buf = zero_fn(self.buf, jnp.int32(0), jnp.int32(self.capacity))
         self.ncols = ncols_new

@@ -67,6 +67,30 @@ def test_fuzz_spectrum(shape, seed):
     _check(diag)
 
 
+@pytest.mark.parametrize(
+    "shape", ["gap_clusters", "indefinite", "near_degenerate", "log_uniform"]
+)
+def test_fuzz_spectrum_with_host_offload(shape):
+    """The fuzz shapes re-run with the two-tier basis store active: leaks
+    along OFFLOADED dominant directions re-amplify per step, a regime the
+    all-device fuzz cases cannot reach (the once-per-window host projection
+    bug passed every flat-spectrum offload test)."""
+    rng = np.random.default_rng(2)
+    diag = SHAPES[shape](rng, 400)
+    _check(diag, basis_device_cap_cols=64)
+
+
+@pytest.mark.parametrize("shape", ["gap_clusters", "indefinite"])
+def test_fuzz_spectrum_on_mesh(shape, eight_devices):
+    """Danger/selective-regime shapes under the 8-device row mesh: policy
+    flips, rewinds, and re-randomization interact with sharded state."""
+    from rbl_tpu.parallel.mesh import make_row_mesh
+
+    rng = np.random.default_rng(3)
+    diag = SHAPES[shape](rng, 400)
+    _check(diag, mesh=make_row_mesh(8))
+
+
 def test_fuzz_grown_chunks_narrow_window():
     """The regression that motivated poll decoupling: a slowly separating
     spectrum whose convergence window is narrower than a grown chunk."""

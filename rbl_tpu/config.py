@@ -100,6 +100,20 @@ class RBLConfig:
         sweep, so the host pays only the RPC latency, not the chunk compute.
         Speculated chunks wasted at convergence/breakdown are rewound
         (device-side only).  1 reproduces the single-speculation pipeline.
+    adaptive_reorth_max:
+        Maximum stretch factor on ``partial_reorth_cadence`` while the
+        spectrum is CALM (classic partial-reorthogonalization economics,
+        Simon '84 flavored): the full scrub reads the entire stored basis
+        — the dominant HBM traffic late in a sweep — and on spectra with
+        no converged/dominant directions the leak between scrubs grows
+        only O(eps) per step, so the scrub interval can stretch.  The
+        effective cadence doubles per calm chunk up to
+        ``partial_reorth_cadence × adaptive_reorth_max`` and snaps back to
+        the base cadence the moment any risk signal fires (danger or
+        selective mode, a lock set, fine polling near the convergence
+        window, a weak coupling block σmin < 0.1·scale, or a captured
+        dominant direction tscale > 2·active scale).  1 (default)
+        disables stretching — the reference-shaped fixed cadence.
     matmul_precision:
         XLA matmul input precision for the whole solve ("default" | "high"
         | "highest").  On TPU, f32 matmuls run the MXU at bfloat16 input
@@ -131,6 +145,7 @@ class RBLConfig:
     basis_device_cap_cols: Optional[int] = None
     chunk_growth_cap: int = 4
     pipeline_depth: int = 2
+    adaptive_reorth_max: int = 1
     matmul_precision: str = "high"
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
@@ -149,7 +164,8 @@ class RBLConfig:
             )
         for name in ("partial_reorth_cadence", "eig_poll_cadence",
                      "loc_reorth_passes", "restart_reorth_cadence",
-                     "chunk_growth_cap", "pipeline_depth"):
+                     "chunk_growth_cap", "pipeline_depth",
+                     "adaptive_reorth_max"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be ≥ 1")
         if self.qr_method not in ("auto", "householder", "cholqr2", "cholqr3"):

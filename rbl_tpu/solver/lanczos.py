@@ -586,6 +586,7 @@ def lanczos_iteration(
     i_next = 2         # first iteration of the next chunk to dispatch
     dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
     pr = cfg.partial_reorth_cadence
+    pr_stretch = 1  # adaptive full-scrub stretch (cfg.adaptive_reorth_max)
 
     # Rank check of the FIRST coupling block (the chunk scan below covers
     # later steps): a start block wider than the reachable subspace — e.g.
@@ -669,7 +670,11 @@ def lanczos_iteration(
         if danger or selective:
             reorth_pattern = (True,) * S
         else:
-            reorth_pattern = tuple((i0 + s) % pr == 0 for s in range(S))
+            # pr·pr_stretch: the adaptive full-scrub interval (stretched
+            # only while the spectrum is calm — see the stats block in the
+            # chunk loop; base cadence when adaptive_reorth_max == 1)
+            pr_eff = pr * pr_stretch
+            reorth_pattern = tuple((i0 + s) % pr_eff == 0 for s in range(S))
         store._ensure(store.ncols + S * b)
         col0_abs = store.ncols
         col0_rel = jnp.int32(col0_abs - store.dev_base)
@@ -765,7 +770,7 @@ def lanczos_iteration(
             pass
         return dict(i0=i0, S=S, col0=col0_abs, TB=TB,
                     Qi=Qi_n, Qprev=Qprev_n, Bi=Bi_n,
-                    danger=danger or selective)
+                    danger=danger or selective, stretch=pr_stretch)
 
     def rewind_to(ncols_new):
         """Discard basis columns beyond ncols_new (speculated, degenerate,
@@ -1191,11 +1196,38 @@ def lanczos_iteration(
                 selective = True
                 _dbg(f"selective ON (chunk-stats) at i={i}: "
                      f"gamma≈{gp:.3g} rem={rem_i}")
+        if cfg.adaptive_reorth_max > 1:
+            # Adaptive full-scrub stretch (see RBLConfig.adaptive_reorth_max):
+            # double the interval per calm chunk; snap back to base on ANY
+            # risk signal.  Near the convergence window (fine_poll) and
+            # with captured dominant directions, leaks re-amplify — those
+            # regimes keep the base cadence.
+            calm_for_stretch = (
+                not danger and not selective and lock_basis is None
+                and not fine_poll and calm_chunks >= 3
+                and min_B is not None
+                and chunk_min_sv >= 0.1 * chunk_scale
+                and tscale <= 2.0 * chunk_scale
+            )
+            pr_stretch = (
+                min(pr_stretch * 2, cfg.adaptive_reorth_max)
+                if calm_for_stretch else 1
+            )
         if inflight and inflight[0]["danger"] != (danger or selective):
             rewind_to((i - 1) * b)
             dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
             i_next = i + 1
             n_chunks = 0  # restart chunk growth from the base cadence
+            inflight.clear()
+        elif inflight and inflight[0]["stretch"] > pr_stretch:
+            # a speculated chunk dispatched under a STRETCHED cadence after
+            # the policy snapped back would run with fewer scrubs than the
+            # risk now demands — discard it (more scrubs than demanded is
+            # the safe direction and is never discarded)
+            rewind_to((i - 1) * b)
+            dev = (cur["Qi"], cur["Qprev"], cur["Bi"])
+            i_next = i + 1
+            n_chunks = 0
             inflight.clear()
 
         # Convergence polls (reference cadence RBL.jl:106; immediately on

@@ -98,6 +98,26 @@ def test_fuzz_grown_chunks_narrow_window():
     _check(diag, chunk_growth_cap=8, eig_poll_cadence=4)
 
 
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_fuzz_spectrum_adaptive_reorth(shape):
+    """Every fuzz shape with the adaptive full-scrub stretch enabled: the
+    stretch must SNAP BACK (and discard under-scrubbed speculation) before
+    any ghost regime can exploit the sparser scrubs — accuracy must match
+    the fixed-cadence gate exactly."""
+    rng = np.random.default_rng(1)
+    diag = SHAPES[shape](rng, 400)
+    _check(diag, adaptive_reorth_max=4)
+
+
+def test_fuzz_adaptive_reorth_slow_separation():
+    """The narrow-window regression shape with maximum stretch AND grown
+    chunks — the calmest spectrum, i.e. where the stretch spends the most
+    time at its cap and the convergence-window snap-back matters most."""
+    diag = np.arange(1.0, 701.0)
+    _check(diag, adaptive_reorth_max=4, chunk_growth_cap=8,
+           eig_poll_cadence=4)
+
+
 def test_fuzz_negative_dominant():
     """Largest-|λ| eigenvalue negative — sign handling through sort_eig_abs,
     the residual bounds, and the Rayleigh refinement."""

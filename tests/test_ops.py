@@ -342,6 +342,36 @@ def test_iterations_matches_kryl_dim_on_early_convergence():
     assert res.iterations * b == res.kryl_dim
 
 
+def test_adaptive_reorth_semiorthogonality():
+    """With the full-scrub interval stretched to its cap on a calm spectrum
+    (unreachable tol → sweep runs to the Krylov cap), the stored basis must
+    stay semiorthogonal: ‖QᵀQ − I‖ ≤ O(√eps) is the classic partial-
+    reorthogonalization contract that keeps T's Ritz values honest."""
+    import jax
+
+    import rbl_tpu as rt
+    from rbl_tpu.ops.spmm.operator import as_operator
+    from rbl_tpu.solver.basis import BasisStore
+    from rbl_tpu.solver.lanczos import lanczos_iteration, random_start_block
+
+    n, k, b = 500, 6, 4
+    d = np.linspace(1.0, 50.0, n)
+    cfg = rt.RBLConfig(
+        block_size=b, max_kryl_dim=160, tol=1e-300, adaptive_reorth_max=8
+    )
+    op = as_operator(d, dtype=cfg.compute_dtype)
+    Qi = random_start_block(op, jax.random.PRNGKey(cfg.seed), b, cfg)
+    store = BasisStore(
+        n, b, max_cols=cfg.max_kryl_dim + b, dtype=cfg.basis_dtype
+    )
+    lanczos_iteration(op, k, cfg, Qi, store)
+    Q = np.asarray(store.view())[:, : store.ncols]
+    orth = np.abs(Q.T @ Q - np.eye(store.ncols)).max()
+    # f64: √eps ≈ 1.5e-8; the danger/selective machinery plus the calm
+    # gate must keep the stretched sweep well inside it
+    assert orth < 1e-8, f"semiorthogonality lost: {orth:.3g}"
+
+
 def test_breakdown_rerandomization_low_rank():
     """Exact invariant-subspace breakdown: a rank-6 operator exhausts its
     Krylov space after two b=3 blocks; the solver must detect the collapsed

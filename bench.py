@@ -20,6 +20,8 @@ def run(timed: bool, seed: int = 0):
     # executions can be served from a backend cache (CLAUDE.md gotcha #4),
     # making repeated identical solves report impossible times.  A fresh Ω
     # changes input bytes without changing shapes (no recompile).
+    import os
+
     import jax.numpy as jnp
 
     import rbl_tpu as rt
@@ -37,6 +39,10 @@ def run(timed: bool, seed: int = 0):
         max_kryl_dim=768,
         eig_poll_cadence=16,
         seed=seed,
+        # A/B hook: RBL_BENCH_ADAPTIVE=N stretches the full-scrub cadence
+        # (cfg.adaptive_reorth_max) for the headline run — measurement
+        # only; the recorded headline stays at the validated default
+        adaptive_reorth_max=int(os.environ.get("RBL_BENCH_ADAPTIVE", "1")),
     )
     t0 = time.perf_counter()
     res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--max-kryl", type=int, default=1024)
     p.add_argument("--arpack", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--adaptive-reorth", type=int, default=1,
+                   help="cfg.adaptive_reorth_max stretch cap (1 = off)")
     args = p.parse_args()
 
     import jax
@@ -62,6 +64,7 @@ def main():
             block_size=b, tol=args.tol, max_kryl_dim=args.max_kryl,
             basis_dtype=dt_, compute_dtype=dt_,
             qr_method="auto", eig_poll_cadence=8,
+            adaptive_reorth_max=args.adaptive_reorth,
         )
         rt.rbl(op, args.k, b, cfg=cfg)  # per-shape compile warm-up
         # fresh seed for the timed run: byte-identical (program, inputs)

@@ -53,11 +53,28 @@ def main():
     op = ShardedLaplacian2D(nx=nx, ny=ny, mesh=mesh, _dtype=jnp.float64)
     cfg = rt.RBLConfig(block_size=b, mesh=mesh, max_kryl_dim=256)
     res = rt.rbl(op, k, b, cfg=cfg)
+
+    # Second path: general sparse triplets built host-side on every rank
+    # and device_put onto the GLOBAL sharding (from_scipy scatters local
+    # shards — the risky cross-process construction path)
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+
+    rng = np.random.default_rng(7)
+    M = sp.random(256, 256, density=0.03, random_state=rng)
+    A = sp.csr_matrix(M + M.T)
+    coo_op = ShardedCooSpMM.from_scipy(A, mesh)
+    res2 = rt.rbl(
+        coo_op, 3, 4, cfg=rt.RBLConfig(block_size=4, mesh=mesh,
+                                       max_kryl_dim=256),
+    )
     print(json.dumps({
         "rank": info["process_index"],
         "eigenvalues": [float(v) for v in res.eigenvalues],
         "converged": bool(res.converged),
         "kryl_dim": int(res.kryl_dim),
+        "coo_eigenvalues": [float(v) for v in res2.eigenvalues],
     }), flush=True)
 
 

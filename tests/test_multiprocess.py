@@ -61,3 +61,15 @@ def test_two_process_fake_cluster_solve():
     ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
     lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(w0)]
     np.testing.assert_allclose(w0, lam, rtol=1e-9)
+    # general-sparse path (cross-process COO shard construction): identical
+    # across ranks and correct vs the dense spectrum the workers solved
+    import scipy.sparse as sp
+
+    c0, c1 = (np.asarray(o["coo_eigenvalues"]) for o in outs)
+    np.testing.assert_array_equal(c0, c1)
+    rng = np.random.default_rng(7)
+    M = sp.random(256, 256, density=0.03, random_state=rng)
+    A = (M + M.T).toarray()
+    w = np.linalg.eigvalsh(A)
+    ref = w[np.argsort(-np.abs(w))][: len(c0)]
+    np.testing.assert_allclose(c0, ref, rtol=1e-9)

@@ -43,6 +43,7 @@ from .ops.spmm.operator import (
 from .ops.spmm.ell import SparseEllOperator
 from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
+from .ops.minres import ShiftInvertOperator, block_minres
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, RBL_gpu, rbl
@@ -78,6 +79,8 @@ __all__ = [
     "SVDResult",
     "eigsh",
     "svds",
+    "ShiftInvertOperator",
+    "block_minres",
 ]
 
 __version__ = "0.1.0"

@@ -21,9 +21,14 @@ Differences from ARPACK, stated rather than hidden:
   reference's absolute semantics, RBL.jl:109); scipy's ``tol=0``
   ("machine precision") maps to the solver default 1e-7 — the exact
   tolerance the reference uses for its own ARPACK comparison.
-- Shift-invert (``sigma``), generalized problems (``M``), and the
-  ``which`` modes needing them ("SM", "BE", "LI"/"SI", "SR"/"LR") are not
-  implemented — matching the reference, which is LM-only.
+- Shift-invert (``sigma``) is supported in ``mode="normal"`` with a
+  TPU-native inner solver: OP = (A − σI)⁻¹ applied by blocked MINRES
+  (``rbl_tpu.ops.minres``), never factoring A — where ARPACK expects a
+  factorization, this runs an indefinite Krylov solve whose per-iteration
+  cost is one block SpMM.  ``which="SM"`` (no sigma) is the σ = 0 special
+  case and requires A nonsingular.  Buckling/Cayley modes, generalized
+  problems (``M``), and ``which="SM"``-*with*-sigma (eigenvalues farthest
+  from σ) are not implemented.
 """
 
 from __future__ import annotations
@@ -33,6 +38,20 @@ from typing import Any, Optional
 import numpy as np
 
 from .config import RBLConfig
+
+
+def _scipy_eig_order(
+    w: np.ndarray, which: str, return_eigenvectors: bool
+) -> np.ndarray:
+    """scipy.sparse.linalg.eigsh's documented sort order: ascending
+    algebraic when eigenvectors are returned (and always for LA/BE);
+    without eigenvectors LM/SA sort by ascending |λ| and SM by
+    DESCENDING |λ|."""
+    if return_eigenvectors or which in ("LA", "BE"):
+        return np.argsort(w, kind="stable")
+    if which == "SM":
+        return np.argsort(-np.abs(w), kind="stable")
+    return np.argsort(np.abs(w), kind="stable")  # LM, SA
 
 
 def _default_block(k: int) -> int:
@@ -59,12 +78,16 @@ def eigsh(
 ):
     """Drop-in ``scipy.sparse.linalg.eigsh`` replacement backed by ``rbl``.
 
-    Returns ``(w, v)`` with ``w`` in ascending algebraic order (scipy's
-    convention) — or just ``w`` when ``return_eigenvectors=False``.
+    Returns ``(w, v)`` with ``w`` in ascending algebraic order — or just
+    ``w`` when ``return_eigenvectors=False``, in which case scipy's
+    which-dependent sort order applies (LM/SA by ascending ``|λ|``, SM by
+    descending ``|λ|``, LA/BE algebraic).
     Supported ``which``: "LM", "LA", "SA", "BE" (BE = ⌈k/2⌉ from the top
     of the spectrum + ⌊k/2⌋ from the bottom, ARPACK's split, as two
-    shifted solves).  See the module docstring for the ARPACK-semantics
-    differences.
+    shifted solves), "SM" (σ = 0 shift-invert; A must be nonsingular),
+    and "LM"/"LA"/"SA" with ``sigma`` (eigenvalues nearest / just above /
+    just below σ, via the blocked-MINRES shift-invert transform).  See the
+    module docstring for the ARPACK-semantics differences.
     """
     from .solver.rbl import rbl
 
@@ -72,17 +95,26 @@ def eigsh(
         raise NotImplementedError(
             "generalized eigenproblems (M != None) are not supported"
         )
-    if sigma is not None:
-        raise NotImplementedError(
-            "shift-invert (sigma != None) is not supported — the randomized "
-            "block Lanczos solver targets exterior eigenvalues directly "
-            "(which='LM'/'LA'/'SA'/'BE')"
-        )
     which = which.upper()
-    if which not in ("LM", "LA", "SA", "BE"):
+    user_which = which  # the sort rules key on what the USER asked for
+    if sigma is None and which == "SM":
+        # smallest-magnitude = eigenvalues nearest zero: the σ = 0
+        # shift-invert problem (scipy's ARPACK solves SM directly and is
+        # notoriously slow at it; shift-invert is its own recommended
+        # alternative)
+        sigma, which = 0.0, "LM"
+    if sigma is not None:
+        if mode != "normal":
+            raise NotImplementedError(
+                f"mode={mode!r} not supported (only 'normal' shift-invert)"
+            )
+        if which not in ("LM", "LA", "SA"):
+            raise NotImplementedError(
+                f"which={which!r} with sigma not supported (LM/LA/SA are)"
+            )
+    elif which not in ("LM", "LA", "SA", "BE"):
         raise NotImplementedError(
-            f"which={which!r} not supported (LM/LA/SA/BE are; SM needs "
-            "shift-invert)"
+            f"which={which!r} not supported (LM/LA/SA/BE/SM are)"
         )
     cfg = cfg or RBLConfig()
     if tol and tol > 0:
@@ -92,6 +124,36 @@ def eigsh(
             raise ValueError(f"ncv={ncv} must exceed k={k}")
         cfg = cfg.replace(max_kryl_dim=int(ncv))
     bsz = b or _default_block(k)
+
+    if sigma is not None:
+        from .ops.minres import ShiftInvertOperator
+        from .ops.spmm.operator import as_operator
+
+        op = as_operator(A)
+        # Inner-solve error perturbs OP in a way the outer residual bounds
+        # cannot see, so the inner target sits well below the outer tol
+        # (floored by what f64 MINRES can reach).
+        inner_tol = max(1e-13, min(1e-11, 1e-4 * cfg.tol))
+        si = ShiftInvertOperator.shift(op, float(sigma), inner_tol=inner_tol)
+        res = rbl(
+            si, k, b=bsz, cfg=cfg, which=which,
+            compute_eigenvectors=True, v0=v0,
+        )
+        theta = np.asarray(res.eigenvalues, dtype=np.float64)
+        X = np.asarray(res.eigenvectors)
+        # λ from the Rayleigh quotient with the ORIGINAL A — more accurate
+        # than σ + 1/θ, which inherits the inner-solve error in θ
+        import jax.numpy as jnp
+
+        AX = np.asarray(op.apply(jnp.asarray(X, dtype=op.dtype)))
+        num = np.einsum("ij,ij->j", X, AX)
+        den = np.einsum("ij,ij->j", X, X)
+        w = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                     float(sigma) + 1.0 / theta)
+        order = _scipy_eig_order(w, user_which, return_eigenvectors)
+        if not return_eigenvectors:
+            return w[order]
+        return w[order], X[:, order]
 
     if which == "BE":
         # ARPACK's BE split: ⌈k/2⌉ from the high end, ⌊k/2⌋ from the low —
@@ -133,7 +195,7 @@ def eigsh(
         compute_eigenvectors=return_eigenvectors, v0=v0,
     )
     w = np.asarray(res.eigenvalues, dtype=np.float64)
-    order = np.argsort(w, kind="stable")  # scipy: ascending algebraic
+    order = _scipy_eig_order(w, user_which, return_eigenvectors)
     w = w[order]
     if not return_eigenvectors:
         return w

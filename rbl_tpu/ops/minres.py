@@ -1,0 +1,210 @@
+"""Blocked MINRES and the shift-invert spectral transform.
+
+The reference is exterior-only: its ARPACK comparison surface is
+``eigs(..., which=:LM)`` (benchmark.jl:42) and the solver itself converges to
+largest-magnitude Ritz pairs.  Interior eigenvalues (scipy's
+``eigsh(A, k, sigma=...)`` and ``which="SM"``) need the shift-invert
+transform OP = (A − σI)⁻¹, whose eigenvalues θ = 1/(λ − σ) make the
+eigenvalues of A nearest σ the *exterior* ones of OP.
+
+TPU-native design:
+
+- The inner solve is **blocked MINRES** (A − σI is symmetric but indefinite
+  for interior σ, so CG does not apply): all b right-hand sides advance in
+  lockstep, so each inner iteration costs exactly one block SpMM — the same
+  (n, b) MXU/VPU shape as the outer Lanczos recurrence — plus a handful of
+  per-column (b,)-lane scalar recurrences.  No per-column Python loop, no
+  host round-trips.
+- The whole solve is one ``lax.while_loop`` (static shapes, traced once),
+  so ``ShiftInvertOperator.apply`` jits *inside* the outer solver's fused
+  sweep chunks like any other operator.
+- Division guards (`beta`, `oldb`, `gamma`) make exact breakdowns (RHS in a
+  low-dimensional Krylov space — e.g. B already an eigenvector) converge to
+  the exact solution instead of producing NaNs, with no per-column masking.
+
+The recurrence follows Paige & Saunders' MINRES (the same formulation as
+scipy.sparse.linalg.minres), vectorized so every scalar becomes a (b,) lane
+vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .spmm.operator import LinearOperator, register_operator, static_field
+
+
+def _coldot(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Per-column dot products, f32-accumulated for sub-f32 inputs."""
+    pet = jnp.float32 if jnp.dtype(X.dtype).itemsize < 4 else X.dtype
+    return jnp.einsum("ij,ij->j", X, Y, preferred_element_type=pet).astype(
+        X.dtype
+    )
+
+
+def _safe(d: jax.Array) -> jax.Array:
+    """Guard a nonnegative divisor: exact zero -> 1 (the masked quantity is
+    itself zero in that case, so the quotient's value is irrelevant)."""
+    return jnp.where(d > 0, d, jnp.ones_like(d))
+
+
+def block_minres(
+    apply_a: Callable[[jax.Array], jax.Array],
+    B: jax.Array,
+    *,
+    shift: jax.Array | float = 0.0,
+    tol: float = 1e-11,
+    maxiter: Optional[int] = None,
+):
+    """Solve (A − shift·I) X = B columnwise with MINRES in lockstep.
+
+    Parameters
+    ----------
+    apply_a: block matvec X ↦ A·X on (n, b) arrays (A symmetric).
+    B: (n, b) right-hand-side block.
+    shift: scalar σ (python float or 0-d array — a traced 0-d array reuses
+        the compiled solve across shifts).
+    tol: per-column relative residual target ‖(A−σI)x − rhs‖ / ‖rhs‖.
+    maxiter: inner iteration cap (default 3n; MINRES terminates in ≤ n
+        exact-arithmetic steps, the slack covers finite-precision stalls).
+
+    Returns
+    -------
+    (X, (iterations, relres)) — the solution block, the number of inner
+    iterations executed, and the (b,) per-column relative residual
+    estimates (the MINRES φ̄ recurrence, not a recomputed true residual).
+    """
+    n, b = B.shape
+    dt = B.dtype
+    if maxiter is None:
+        maxiter = 3 * n
+    maxiter = int(min(maxiter, 2**31 - 1))
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+    sigma = jnp.asarray(shift, dtype=dt)
+
+    def op(V):
+        return apply_a(V) - sigma * V
+
+    beta1 = jnp.sqrt(_coldot(B, B))
+    beta1s = _safe(beta1)  # zero columns converge at itn=0 with x=0
+
+    zeros_nb = jnp.zeros_like(B)
+    zeros_b = jnp.zeros((b,), dt)
+
+    # state: (itn, x, y, r1, r2, w, w2, oldb, beta, dbar, epsln,
+    #         phibar, cs, sn)
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        zeros_nb,             # x
+        B,                    # y
+        B,                    # r1
+        B,                    # r2
+        zeros_nb,             # w
+        zeros_nb,             # w2
+        jnp.ones((b,), dt),   # oldb (guarded; masked at itn==1)
+        beta1s,               # beta
+        zeros_b,              # dbar
+        zeros_b,              # epsln
+        beta1,                # phibar
+        -jnp.ones((b,), dt),  # cs
+        zeros_b,              # sn
+    )
+
+    def cond(state):
+        itn, phibar = state[0], state[11]
+        return jnp.logical_and(
+            itn < maxiter, jnp.any(phibar > tol * beta1s)
+        )
+
+    def body(state):
+        (itn, x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+         cs, sn) = state
+        itn = itn + 1
+
+        v = y / _safe(beta)[None, :]
+        y = op(v)
+        # the r1 correction only exists from the second iteration on
+        coef1 = jnp.where(itn >= 2, beta / _safe(oldb), zeros_b)
+        y = y - coef1[None, :] * r1
+        alfa = _coldot(v, y)
+        y = y - (alfa / _safe(beta))[None, :] * r2
+        r1, r2 = r2, y
+        oldb, beta = beta, jnp.sqrt(_coldot(y, y))
+
+        # previous plane rotation applied to the new tridiagonal column
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+
+        w1, w2 = w2, w
+        w = (v - oldeps[None, :] * w1 - delta[None, :] * w2) / gamma[None, :]
+        x = x + phi[None, :] * w
+        return (itn, x, y, r1, r2, w, w2, oldb, beta, dbar, epsln,
+                phibar, cs, sn)
+
+    state = lax.while_loop(cond, body, state0)
+    itn, x, phibar = state[0], state[1], state[11]
+    return x, (itn, phibar / beta1s)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShiftInvertOperator(LinearOperator):
+    """OP = (A − σI)⁻¹ via blocked MINRES — the spectral transform behind
+    ``eigsh(A, k, sigma=σ)`` and ``which="SM"`` (σ = 0).
+
+    θ(OP) = 1/(λ(A) − σ): eigenvalues of A nearest σ become the
+    largest-magnitude eigenvalues of OP, which is exactly what the outer
+    randomized block Lanczos converges to.  OP is symmetric, so the outer
+    solver applies unchanged; each outer recurrence step costs one full
+    inner MINRES solve (the price of interior eigenvalues — identical to
+    ARPACK's shift-invert mode, but with the factorization replaced by an
+    iteration that never materializes or factors A, so it shards over the
+    mesh exactly like every other operator here).
+
+    ``sigma`` is a 0-d array leaf: solves at different shifts reuse one
+    compiled outer sweep.  ``inner_tol`` should be well below the outer
+    convergence tolerance — inner-solve error acts as a non-symmetric
+    perturbation of OP that the outer residual bounds cannot see.
+    """
+
+    base: LinearOperator
+    sigma: jax.Array  # 0-d
+    inner_tol: float = static_field(default=1e-11)
+    inner_maxiter: Optional[int] = static_field(default=None)
+
+    @classmethod
+    def shift(cls, base: LinearOperator, sigma: float, **kw):
+        return cls(
+            base=base, sigma=jnp.asarray(sigma, dtype=base.dtype), **kw
+        )
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def apply(self, X: jax.Array) -> jax.Array:
+        Y, _ = block_minres(
+            self.base.apply,
+            X.astype(self.dtype),
+            shift=self.sigma,
+            tol=self.inner_tol,
+            maxiter=self.inner_maxiter,
+        )
+        return Y.astype(X.dtype)

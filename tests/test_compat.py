@@ -98,13 +98,16 @@ class TestEigsh:
         np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-6)
 
     def test_unsupported_modes_raise(self):
+        # sigma and which="SM" are supported now (tests/test_shift_invert.py);
+        # generalized problems, non-normal shift-invert modes, and
+        # sigma-with-SM (eigenvalues farthest from σ) still raise
         A = _sym_sparse()
         with pytest.raises(NotImplementedError):
-            rt.eigsh(A, k=3, sigma=1.0)
-        with pytest.raises(NotImplementedError):
-            rt.eigsh(A, k=3, which="SM")
-        with pytest.raises(NotImplementedError):
             rt.eigsh(A, k=3, M=sp.eye(A.shape[0]))
+        with pytest.raises(NotImplementedError):
+            rt.eigsh(A, k=3, sigma=1.0, mode="cayley")
+        with pytest.raises(NotImplementedError):
+            rt.eigsh(A, k=3, sigma=1.0, which="SM")
         with pytest.raises(ValueError):
             rt.eigsh(A, k=5, ncv=5)
 

@@ -44,8 +44,22 @@ def run(timed: bool, seed: int = 0):
         # only; the recorded headline stays at the validated default
         adaptive_reorth_max=int(os.environ.get("RBL_BENCH_ADAPTIVE", "1")),
     )
+    # A/B hook: RBL_BENCH_FILTERED=1 (or =<degree>) runs the
+    # Chebyshev-filtered solver (solver/filtered.py) instead — measurement
+    # only; the recorded headline stays on the default path.  The PSD
+    # bounds hint is legitimate domain knowledge (Dirichlet Laplacian).
+    filt = os.environ.get("RBL_BENCH_FILTERED")
     t0 = time.perf_counter()
-    res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)
+    if filt:
+        from rbl_tpu.solver.filtered import rbl_filtered
+
+        kwargs = {} if filt in ("1", "auto") else {"degree": int(filt)}
+        res = rbl_filtered(
+            op, k, cfg=cfg, which="LA", bounds=(0.0, None),
+            compute_eigenvectors=True, **kwargs,
+        )
+    else:
+        res = rt.rbl(op, k, b, cfg=cfg, compute_eigenvectors=True)
     if res.eigenvectors is not None:
         # Fetch ONE scalar of V: on the remote-attached backend
         # block_until_ready can return early (CLAUDE.md gotcha #3), and a

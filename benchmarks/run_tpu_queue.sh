@@ -13,6 +13,9 @@ timeout 1800 python bench.py 2>&1 | log headline
 echo "== headline A/B: adaptive full-scrub cadence (stretch 4) =="
 timeout 1800 env RBL_BENCH_ADAPTIVE=4 python bench.py 2>&1 | log headline_adaptive
 
+echo "== headline A/B: Chebyshev-filtered solver =="
+timeout 1800 env RBL_BENCH_FILTERED=1 python bench.py 2>&1 | log headline_filtered
+
 echo "== SpMM formats incl. HYB/COO skew case =="
 timeout 1800 python benchmarks/spmm_bench.py 2>&1 | log spmm
 

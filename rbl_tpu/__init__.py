@@ -44,6 +44,8 @@ from .ops.spmm.ell import SparseEllOperator
 from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
 from .ops.minres import ShiftInvertOperator, block_minres
+from .ops.chebyshev import ChebyshevFilterOperator
+from .solver.filtered import FilterInfo, rbl_filtered
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, RBL_gpu, rbl
@@ -81,6 +83,9 @@ __all__ = [
     "svds",
     "ShiftInvertOperator",
     "block_minres",
+    "ChebyshevFilterOperator",
+    "FilterInfo",
+    "rbl_filtered",
 ]
 
 __version__ = "0.1.0"

@@ -483,10 +483,11 @@ def recover_eigvec(store: BasisStore, Vk: np.ndarray) -> jax.Array:
 
 
 @partial(
-    jax.jit, static_argnames=("b", "cdt", "bdt", "qr_method", "sharding")
+    jax.jit, static_argnames=("b", "cdt", "bdt", "qr_method", "sharding",
+                              "raw")
 )
 def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding,
-                 v0=None):
+                 v0=None, raw=False):
     Omega = jax.random.normal(key, (op.n, b), dtype=cdt)
     if v0 is not None:
         # user-supplied starting direction (scipy eigsh's v0): it seeds the
@@ -494,22 +495,27 @@ def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding,
         Omega = Omega.at[:, 0].set(v0.astype(cdt))
     if sharding is not None:
         Omega = jax.lax.with_sharding_constraint(Omega, sharding)
-    Y = op.apply(Omega)
+    Y = Omega if raw else op.apply(Omega)
     Q1, _ = block_qr(Y, method=qr_method)
     return Q1.astype(bdt)
 
 
 def random_start_block(op: LinearOperator, key, b: int, cfg: RBLConfig,
-                       sharding=None, v0=None):
+                       sharding=None, v0=None, raw: bool = False):
     """Randomized start: Q₁ = qr(A·Ω).Q with Ω ~ N(0,1)ⁿˣᵇ (reference
     RBL.jl:136-137 — note the single power-iteration step A·Ω).  One jitted
     dispatch: run eagerly, each op is a separate round-trip on a
     remote-attached backend (~0.6 s measured for this one function).
-    ``v0`` optionally seeds Ω's first column (scipy-compat surface)."""
+    ``v0`` optionally seeds Ω's first column (scipy-compat surface).
+    ``raw=True`` skips the A-multiply (Q₁ = qr(Ω).Q): needed when the
+    sweep's T feeds stochastic Lanczos quadrature (solver/filtered.py) —
+    the A·Ω start weights the probe's spectral measure by ~λ² and biases
+    the counting estimate."""
     return _start_block(
         op, key, b=b, cdt=jnp.dtype(cfg.compute_dtype),
         bdt=jnp.dtype(cfg.basis_dtype),
         qr_method=cfg.resolved_qr_method(), sharding=sharding, v0=v0,
+        raw=raw,
     )
 
 

@@ -45,7 +45,13 @@ from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
 from .ops.minres import ShiftInvertOperator, block_minres
 from .ops.chebyshev import ChebyshevFilterOperator
+from .ops.generalized import (
+    ChebyshevSeriesOperator,
+    GeneralizedShiftInvertOperator,
+    PencilOperator,
+)
 from .solver.filtered import FilterInfo, rbl_filtered
+from .solver.generalized import PencilInfo, rbl_generalized
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult
 from .solver.rbl import RBL, RBL_gpu, rbl
@@ -84,8 +90,13 @@ __all__ = [
     "ShiftInvertOperator",
     "block_minres",
     "ChebyshevFilterOperator",
+    "ChebyshevSeriesOperator",
+    "GeneralizedShiftInvertOperator",
+    "PencilOperator",
     "FilterInfo",
     "rbl_filtered",
+    "PencilInfo",
+    "rbl_generalized",
 ]
 
 __version__ = "0.1.0"

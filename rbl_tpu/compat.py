@@ -26,9 +26,19 @@ Differences from ARPACK, stated rather than hidden:
   (``rbl_tpu.ops.minres``), never factoring A — where ARPACK expects a
   factorization, this runs an indefinite Krylov solve whose per-iteration
   cost is one block SpMM.  ``which="SM"`` (no sigma) is the σ = 0 special
-  case and requires A nonsingular.  Buckling/Cayley modes, generalized
-  problems (``M``), and ``which="SM"``-*with*-sigma (eigenvalues farthest
-  from σ) are not implemented.
+  case and requires A nonsingular.
+- Generalized problems (SPD ``M``) are supported without factorizing M:
+  the pencil is transformed to exactly-symmetric standard form S = P·A·P
+  with P ≈ M^{−1/2} as a Chebyshev series (solver/generalized.py);
+  eigenvalues are true-pencil Rayleigh quotients and eigenvectors are
+  M-orthonormal (ARPACK's convention).  With ``sigma`` this becomes
+  factorization-free mode-3 shift-invert: W = M^{1/2}·(A−σM)^{−1}·M^{1/2}
+  with a blocked-MINRES inner solve, ``which`` selecting in ν = 1/(λ−σ)
+  space exactly as ARPACK documents.  Buckling (mode 4, SPD A, B = A,
+  A-orthonormal vectors) and Cayley (mode 5 — its operator is exactly
+  I + 2σ·W₃, reusing the mode-3 transform) are supported the same way.
+  ``which="SM"``-*with*-sigma (eigenvalues farthest from σ) is not
+  implemented.
 """
 
 from __future__ import annotations
@@ -91,12 +101,36 @@ def eigsh(
     """
     from .solver.rbl import rbl
 
-    if M is not None:
-        raise NotImplementedError(
-            "generalized eigenproblems (M != None) are not supported"
-        )
     which = which.upper()
     user_which = which  # the sort rules key on what the USER asked for
+    if M is not None:
+        if mode not in ("normal", "buckling", "cayley"):
+            raise NotImplementedError(
+                f"mode={mode!r} not supported with M "
+                "(normal/buckling/cayley are)"
+            )
+        if mode != "normal" and sigma is None:
+            raise ValueError(f"mode={mode!r} requires sigma")
+        if sigma is None and which == "SM":
+            # smallest-magnitude pencil eigenvalues = nearest zero: the
+            # σ = 0 generalized shift-invert problem (requires A
+            # nonsingular, same as the standard-form SM path)
+            sigma, which = 0.0, "LM"
+        if sigma is not None:
+            if which not in ("LM", "LA", "SA"):
+                raise NotImplementedError(
+                    f"which={which!r} with M and sigma not supported "
+                    "(LM/LA/SA are)"
+                )
+        elif which not in ("LM", "LA", "SA", "BE"):
+            raise NotImplementedError(
+                f"which={which!r} with M not supported (LM/LA/SA/BE/SM are)"
+            )
+        return _eigsh_generalized(
+            A, k, M, which=which, user_which=user_which, sigma=sigma,
+            mode=mode, v0=v0, ncv=ncv, tol=tol,
+            return_eigenvectors=return_eigenvectors, cfg=cfg, b=b,
+        )
     if sigma is None and which == "SM":
         # smallest-magnitude = eigenvalues nearest zero: the σ = 0
         # shift-invert problem (scipy's ARPACK solves SM directly and is
@@ -201,6 +235,76 @@ def eigsh(
         return w
     V = np.asarray(res.eigenvectors)[:, order]
     return w, V
+
+
+def _eigsh_generalized(
+    A, k, M, *, which, user_which, sigma, mode, v0, ncv, tol,
+    return_eigenvectors, cfg, b
+):
+    """The M-branch of ``eigsh``: A·x = λ·M·x with SPD M, solved by
+    ``rbl_generalized`` (Chebyshev-M^{−1/2} pencil transform — see
+    solver/generalized.py; where ARPACK factorizes M, this streams SpMMs).
+    With ``sigma``, mode-3 generalized shift-invert (the symmetric
+    W = M^{1/2}·(A−σM)^{−1}·M^{1/2} with a blocked-MINRES inner solve) —
+    ``which`` selects in ν = 1/(λ−σ) space, ARPACK's convention.
+    Returned eigenvectors are M-orthonormal, matching ARPACK."""
+    from .solver.generalized import rbl_generalized
+
+    cfg = cfg or RBLConfig()
+    if tol and tol > 0:
+        cfg = cfg.replace(tol=float(tol))
+    if ncv is not None:
+        if ncv <= k:
+            raise ValueError(f"ncv={ncv} must exceed k={k}")
+        cfg = cfg.replace(max_kryl_dim=int(ncv))
+
+    if sigma is not None:
+        res = rbl_generalized(
+            A, M, k, b=b or _default_block(k), cfg=cfg, which=which,
+            sigma=float(sigma), mode=mode,
+            compute_eigenvectors=return_eigenvectors, v0=v0,
+        )
+        w = np.asarray(res.eigenvalues, dtype=np.float64)
+        order = _scipy_eig_order(w, user_which, return_eigenvectors)
+        if not return_eigenvectors:
+            return w[order]
+        return w[order], np.asarray(res.eigenvectors)[:, order]
+
+    if which == "BE":
+        n = getattr(A, "shape", (None,))[0]
+        if n is None:
+            n = getattr(A, "n", None)
+        if n is not None and not (0 < k <= n):
+            raise ValueError(f"k={k} out of range for n={n}")
+        k_hi, k_lo = (k + 1) // 2, k // 2
+        parts = []
+        for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
+            if kk == 0:
+                continue
+            parts.append(rbl_generalized(
+                A, M, kk, b=b or _default_block(kk), cfg=cfg, which=end,
+                compute_eigenvectors=return_eigenvectors, v0=v0,
+            ))
+        w = np.concatenate(
+            [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+        )
+        order = np.argsort(w, kind="stable")
+        if not return_eigenvectors:
+            return w[order]
+        V = np.concatenate(
+            [np.asarray(r.eigenvectors) for r in parts], axis=1
+        )
+        return w[order], V[:, order]
+
+    res = rbl_generalized(
+        A, M, k, b=b or _default_block(k), cfg=cfg, which=which,
+        compute_eigenvectors=return_eigenvectors, v0=v0,
+    )
+    w = np.asarray(res.eigenvalues, dtype=np.float64)
+    order = _scipy_eig_order(w, which, return_eigenvectors)
+    if not return_eigenvectors:
+        return w[order]
+    return w[order], np.asarray(res.eigenvectors)[:, order]
 
 
 def svds(

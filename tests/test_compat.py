@@ -98,12 +98,10 @@ class TestEigsh:
         np.testing.assert_allclose(w, np.sort(w_ref), rtol=1e-6)
 
     def test_unsupported_modes_raise(self):
-        # sigma and which="SM" are supported now (tests/test_shift_invert.py);
-        # generalized problems, non-normal shift-invert modes, and
+        # sigma, which="SM", and generalized M (tests/test_generalized.py)
+        # are supported now; non-normal shift-invert modes and
         # sigma-with-SM (eigenvalues farthest from σ) still raise
         A = _sym_sparse()
-        with pytest.raises(NotImplementedError):
-            rt.eigsh(A, k=3, M=sp.eye(A.shape[0]))
         with pytest.raises(NotImplementedError):
             rt.eigsh(A, k=3, sigma=1.0, mode="cayley")
         with pytest.raises(NotImplementedError):

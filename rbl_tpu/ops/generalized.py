@@ -257,6 +257,9 @@ class GeneralizedShiftInvertOperator(LinearOperator):
     ``sigma`` is a 0-d array leaf: solves at different shifts reuse one
     compiled outer sweep.  ``inner_tol`` must sit well below the outer
     tolerance — inner error perturbs W invisibly to the outer bounds.
+    ``precond="jacobi"`` (default) preconditions the inner MINRES with
+    T = diag(|diag(A) − σ·diag(M)|)⁻¹ when both operators report their
+    diagonals (see ops/minres.py ``jacobi_psolve``).
     """
 
     A: LinearOperator
@@ -265,6 +268,7 @@ class GeneralizedShiftInvertOperator(LinearOperator):
     sigma: jax.Array        # 0-d
     inner_tol: float = static_field(default=1e-11)
     inner_maxiter: Optional[int] = static_field(default=None)
+    precond: str = static_field(default="jacobi")
 
     @property
     def shape(self):
@@ -275,15 +279,23 @@ class GeneralizedShiftInvertOperator(LinearOperator):
         return self.A.dtype
 
     def apply(self, X: jax.Array) -> jax.Array:
-        from ..ops.minres import block_minres
+        from ..ops.minres import block_minres, jacobi_psolve
 
         B = self.msqrt.apply(X.astype(self.dtype))
 
         def op(V):
             return self.A.apply(V) - self.sigma * self.M.apply(V)
 
+        psolve = None
+        if self.precond == "jacobi":
+            dA, dM = self.A.diagonal(), self.M.diagonal()
+            if dA is not None and dM is not None:
+                psolve = jacobi_psolve(
+                    dA.astype(self.dtype)
+                    - self.sigma * dM.astype(self.dtype)
+                )
         Y, _ = block_minres(
             op, B, shift=0.0, tol=self.inner_tol,
-            maxiter=self.inner_maxiter,
+            maxiter=self.inner_maxiter, psolve=psolve,
         )
         return self.msqrt.apply(Y).astype(X.dtype)

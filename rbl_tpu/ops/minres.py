@@ -60,6 +60,7 @@ def block_minres(
     shift: jax.Array | float = 0.0,
     tol: float = 1e-11,
     maxiter: Optional[int] = None,
+    psolve: Optional[Callable[[jax.Array], jax.Array]] = None,
 ):
     """Solve (A − shift·I) X = B columnwise with MINRES in lockstep.
 
@@ -69,15 +70,24 @@ def block_minres(
     B: (n, b) right-hand-side block.
     shift: scalar σ (python float or 0-d array — a traced 0-d array reuses
         the compiled solve across shifts).
-    tol: per-column relative residual target ‖(A−σI)x − rhs‖ / ‖rhs‖.
+    tol: per-column relative residual target ‖(A−σI)x − rhs‖ / ‖rhs‖
+        (in the preconditioned norm when ``psolve`` is given).
     maxiter: inner iteration cap (default 3n; MINRES terminates in ≤ n
         exact-arithmetic steps, the slack covers finite-precision stalls).
+    psolve: optional SPD preconditioner application X ↦ T·X (e.g. Jacobi
+        T = diag(|A − σI|)⁻¹): the Paige–Saunders preconditioned recurrence
+        — Lanczos runs on T^{1/2}·(A−σI)·T^{1/2} implicitly, one ``psolve``
+        per iteration, no T^{1/2} ever formed.  T must be symmetric
+        positive definite (an indefinite T breaks the β² = rᵀTr square
+        roots; values are clamped at 0 rather than NaN'd, but convergence
+        is no longer meaningful).
 
     Returns
     -------
     (X, (iterations, relres)) — the solution block, the number of inner
     iterations executed, and the (b,) per-column relative residual
-    estimates (the MINRES φ̄ recurrence, not a recomputed true residual).
+    estimates (the MINRES φ̄ recurrence, not a recomputed true residual;
+    preconditioned-norm when ``psolve`` is given).
     """
     n, b = B.shape
     dt = B.dtype
@@ -90,7 +100,15 @@ def block_minres(
     def op(V):
         return apply_a(V) - sigma * V
 
-    beta1 = jnp.sqrt(_coldot(B, B))
+    if psolve is None:
+        def psolve(X):  # noqa: E306 — identity preconditioner
+            return X
+        y0 = B
+        beta1 = jnp.sqrt(_coldot(B, B))
+    else:
+        y0 = psolve(B)
+        # β² = rᵀTr ≥ 0 for SPD T; clamp rounding noise
+        beta1 = jnp.sqrt(jnp.maximum(_coldot(B, y0), 0.0))
     beta1s = _safe(beta1)  # zero columns converge at itn=0 with x=0
 
     zeros_nb = jnp.zeros_like(B)
@@ -101,7 +119,7 @@ def block_minres(
     state0 = (
         jnp.asarray(0, jnp.int32),
         zeros_nb,             # x
-        B,                    # y
+        y0,                   # y = T·r2
         B,                    # r1
         B,                    # r2
         zeros_nb,             # w
@@ -134,7 +152,8 @@ def block_minres(
         alfa = _coldot(v, y)
         y = y - (alfa / _safe(beta))[None, :] * r2
         r1, r2 = r2, y
-        oldb, beta = beta, jnp.sqrt(_coldot(y, y))
+        y = psolve(r2)
+        oldb, beta = beta, jnp.sqrt(jnp.maximum(_coldot(r2, y), 0.0))
 
         # previous plane rotation applied to the new tridiagonal column
         oldeps = epsln
@@ -178,12 +197,22 @@ class ShiftInvertOperator(LinearOperator):
     compiled outer sweep.  ``inner_tol`` should be well below the outer
     convergence tolerance — inner-solve error acts as a non-symmetric
     perturbation of OP that the outer residual bounds cannot see.
+
+    ``precond="jacobi"`` (the default) preconditions the inner MINRES with
+    the quantile-clamped Jacobi T of ``jacobi_psolve`` (d = diag(A) − σ)
+    whenever the operator can report its diagonal
+    (``LinearOperator.diagonal()``; matrix-free/composite operators
+    return None and run unpreconditioned) — for operators whose diagonal
+    spans orders of magnitude this collapses the inner iteration count;
+    for near-constant diagonals it is a harmless rescale; the clamp keeps
+    the σ-crossing rows from being amplified (see jacobi_psolve).
     """
 
     base: LinearOperator
     sigma: jax.Array  # 0-d
     inner_tol: float = static_field(default=1e-11)
     inner_maxiter: Optional[int] = static_field(default=None)
+    precond: str = static_field(default="jacobi")
 
     @classmethod
     def shift(cls, base: LinearOperator, sigma: float, **kw):
@@ -200,11 +229,47 @@ class ShiftInvertOperator(LinearOperator):
         return self.base.dtype
 
     def apply(self, X: jax.Array) -> jax.Array:
+        psolve = None
+        if self.precond == "jacobi":
+            d = self.base.diagonal()
+            if d is not None:
+                psolve = jacobi_psolve(d.astype(self.dtype) - self.sigma)
         Y, _ = block_minres(
             self.base.apply,
             X.astype(self.dtype),
             shift=self.sigma,
             tol=self.inner_tol,
             maxiter=self.inner_maxiter,
+            psolve=psolve,
         )
         return Y.astype(X.dtype)
+
+
+def jacobi_psolve(d: jax.Array, clamp_quantile: float = 0.1
+                  ) -> Callable[[jax.Array], jax.Array]:
+    """SPD Jacobi preconditioner T = diag(max(|d|, floor))⁻¹ for a
+    (possibly indefinite) system whose matrix diagonal is ``d`` — the
+    absolute value keeps T positive definite, which preconditioned MINRES
+    requires.
+
+    The floor is the ``clamp_quantile`` quantile of |d| (not a tiny
+    epsilon): a shift-invert diagonal d = diag(A) − σ·diag(M) CROSSES
+    ZERO at interior shifts, and amplifying the near-crossing rows by
+    1/|d| scales their off-diagonal coupling up unboundedly — measured on
+    a 500-point pencil this *worsened* the preconditioned condition
+    number 767 → 13k and stalled MINRES outright.  Clamping at q10 keeps
+    those rows un-amplified while preserving the global equilibration:
+    measured iterations (tol 1e-11) — logspace(1…10⁶) diagonal: 1200+
+    (unpreconditioned, stalled) → 61; zero-crossing pencil: 896 → 762
+    (never worse than unpreconditioned in either case)."""
+    dabs = jnp.abs(d)
+    floor = jnp.maximum(
+        jnp.quantile(dabs, clamp_quantile),
+        jnp.finfo(d.dtype).tiny,
+    )
+    inv = 1.0 / jnp.maximum(dabs, floor)
+
+    def psolve(X):
+        return X * inv[:, None].astype(X.dtype)
+
+    return psolve

@@ -120,6 +120,13 @@ class CooOperator(LinearOperator):
             self.rows, self.cols, self.vals, X, self._n, self._chunk
         )
 
+    def diagonal(self):
+        # padding slots carry value 0 (last row, col 0) — no contribution
+        return jax.ops.segment_sum(
+            jnp.where(self.rows == self.cols, self.vals, 0.0),
+            self.rows, num_segments=self._n, indices_are_sorted=True,
+        )
+
     @classmethod
     def from_scipy(cls, A, dtype=None):
         import scipy.sparse as sp
@@ -240,6 +247,9 @@ class HybOperator(LinearOperator):
 
     def apply(self, X):
         return self.ell.apply(X) + self.coo.apply(X)
+
+    def diagonal(self):
+        return self.ell.diagonal() + self.coo.diagonal()
 
     @classmethod
     def from_scipy(cls, A, dtype=None, quantile: float = 0.95):

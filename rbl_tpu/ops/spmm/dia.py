@@ -79,6 +79,11 @@ class DiaOperator(LinearOperator):
             Y = Y + (self.data[d][:, None] * Xp[m + off : m + off + n]).astype(Y.dtype)
         return Y.astype(X.dtype)
 
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros((self._n,), dtype=self.dtype)
+
     @classmethod
     def from_scipy(cls, A, dtype=None, max_diags: int = 256):
         """Build from scipy sparse; raises if A has more than ``max_diags``

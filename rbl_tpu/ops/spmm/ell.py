@@ -64,6 +64,13 @@ class SparseEllOperator(LinearOperator):
         )
         return out.astype(X.dtype)
 
+    def diagonal(self):
+        # padding slots self-point with value 0, so they contribute nothing
+        r = jnp.arange(self._n, dtype=self.cols.dtype)
+        return jnp.sum(
+            jnp.where(self.cols == r[None, :], self.vals, 0.0), axis=0
+        )
+
     @classmethod
     def from_scipy(cls, A, dtype=None):
         """Build from a scipy.sparse matrix (CSR'd internally)."""

@@ -43,6 +43,13 @@ class LinearOperator:
     def apply(self, X: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def diagonal(self):
+        """The matrix diagonal as an (n,) array, or None when extraction
+        is not supported (matrix-free/composite operators).  Used to build
+        Jacobi preconditioners for the shift-invert inner MINRES solves
+        (ops/minres.py) — a None simply disables preconditioning."""
+        return None
+
     def __matmul__(self, X):
         return self.apply(X)
 
@@ -95,6 +102,9 @@ class DiagonalOperator(LinearOperator):
     def apply(self, X):
         return self.diag[:, None] * X
 
+    def diagonal(self):
+        return self.diag
+
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +124,9 @@ class DenseOperator(LinearOperator):
 
     def apply(self, X):
         return jnp.dot(self.mat, X, preferred_element_type=_pet(X.dtype))
+
+    def diagonal(self):
+        return jnp.diagonal(self.mat)
 
 
 @register_operator
@@ -246,6 +259,10 @@ class AffineOperator(LinearOperator):
     def apply(self, X):
         return self.alpha * self.base.apply(X) + self.beta * X
 
+    def diagonal(self):
+        d = self.base.diagonal()
+        return None if d is None else self.alpha * d + self.beta
+
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
@@ -282,6 +299,9 @@ class Laplacian2D(LinearOperator):
         out = 4.0 * G - Gx[:-2] - Gx[2:] - Gy[:, : -2 * b] - Gy[:, 2 * b :]
         return out.reshape(self.nx * self.ny, b)
 
+    def diagonal(self):
+        return jnp.full((self.n,), 4.0, dtype=self.dtype)
+
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
@@ -316,6 +336,9 @@ class Laplacian3D(LinearOperator):
             - Gz[:, :, : -2 * b] - Gz[:, :, 2 * b :]
         )
         return out.reshape(-1, b)
+
+    def diagonal(self):
+        return jnp.full((self.n,), 6.0, dtype=self.dtype)
 
 
 def _pick_sparse_format(A, dtype) -> str:

@@ -223,6 +223,18 @@ class BlockSparseOperator(LinearOperator):
         nrows = (self.block_cols.shape[0] // self.L) * self.bm
         return Y[: self._n] if nrows != self._n else Y
 
+    def diagonal(self):
+        if self.bm != self.bk:
+            return None  # diagonal straddles tiles for rectangular blocks
+        nb = self.block_cols.shape[0] // self.L
+        cols = self.block_cols.reshape(nb, self.L)
+        vals = self.block_vals.reshape(nb, self.L, self.bm, self.bk)
+        tile_diag = jnp.diagonal(vals, axis1=2, axis2=3)  # (nb, L, bm)
+        mask = (cols == jnp.arange(nb, dtype=cols.dtype)[:, None])
+        # padding slots have zero values, so a col-0 pad cannot pollute
+        d = jnp.sum(tile_diag * mask[:, :, None], axis=1).reshape(-1)
+        return d[: self._n]
+
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, bm: int = 128, bk: int = 128,
                    interpret: bool | None = None):

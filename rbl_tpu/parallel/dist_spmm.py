@@ -81,6 +81,9 @@ class ShardedLaplacian2D(LinearOperator):
             out_specs=P(self.axis, None),
         )(X)
 
+    def diagonal(self):
+        return jnp.full((self.n,), 4.0, dtype=self.dtype)
+
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +154,14 @@ class ShardedEllSpMM(LinearOperator):
             in_specs=(P(None, self.axis), P(None, self.axis), P(self.axis, None)),
             out_specs=P(self.axis, None),
         )(self.cols, self.vals, X)
+
+    def diagonal(self):
+        # (L, n) sharded on axis 1 → the (n,) result shards like X's rows;
+        # padding slots self-point with value 0 (SparseEllOperator layout)
+        r = jnp.arange(self._n, dtype=self.cols.dtype)
+        return jnp.sum(
+            jnp.where(self.cols == r[None, :], self.vals, 0.0), axis=0
+        )
 
 
 def _banded_coo_shards(A, ndev, dtype, mesh, axis):
@@ -249,6 +260,26 @@ class ShardedCooSpMM(LinearOperator):
 
     def apply(self, X):
         return _sharded_coo_apply(self, X, self._n // self.mesh.shape[self.axis])
+
+    def diagonal(self):
+        # rows are LOCAL band ids: the diagonal entry of local row r on
+        # device d sits at global column d·ml + r; pad slots carry val 0
+        ml = self._n // self.mesh.shape[self.axis]
+
+        def local_diag(rows_l, cols_l, vals_l):
+            base = (jax.lax.axis_index(self.axis) * ml).astype(cols_l.dtype)
+            eq = cols_l == rows_l + base
+            return jax.ops.segment_sum(
+                jnp.where(eq, vals_l, 0.0), rows_l, num_segments=ml,
+                indices_are_sorted=True,
+            )
+
+        return jax.shard_map(
+            local_diag,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(self.axis),
+        )(self.rows, self.cols, self.vals)
 
 
 @register_operator

@@ -33,3 +33,19 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles many hundreds of XLA CPU executables in one
+    process (every module jits at its own shapes); letting them all stay
+    resident eventually segfaults the CPU JIT inside
+    ``backend_compile_and_load`` — observed ~85% into the suite at
+    varying, unrelated tests (test_spectra / test_svd), exit 139.
+    Clearing per module keeps the live-executable footprint at one
+    module's worth; intra-module caching (the expensive solver sweeps)
+    is unaffected."""
+    yield
+    jax.clear_caches()

@@ -156,3 +156,26 @@ def test_sharded_sparse_svd_matches_unsharded(eight_devices):
     s2_ref = np.linalg.svd(B2.toarray(), compute_uv=False)[:3]
     res2 = rt.rbl_svd(B2, 3, b=4, cfg=rt.RBLConfig(mesh=mesh, block_size=4))
     np.testing.assert_allclose(res2.s, s2_ref, rtol=1e-8)
+
+
+def test_sharded_diagonals(eight_devices):
+    """diagonal() of every sharded operator must match the scipy/dense
+    diagonal — it feeds the Jacobi preconditioner of distributed
+    shift-invert solves (ops/minres.py jacobi_psolve)."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+
+    mesh = make_row_mesh(8)
+    n = 512
+    rng = np.random.default_rng(7)
+    M = sp.random(n, n, density=0.02, random_state=8)
+    A = sp.csr_matrix(M + M.T)
+    A.setdiag(rng.standard_normal(n) + 3.0)
+    want = A.diagonal()
+    for cls in (ShardedCooSpMM, ShardedEllSpMM):
+        got = np.asarray(cls.from_scipy(A, mesh).diagonal())
+        np.testing.assert_allclose(got, want, rtol=1e-14, atol=0,
+                                   err_msg=cls.__name__)
+    lp = ShardedLaplacian2D(nx=32, ny=16, mesh=mesh, _dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(lp.diagonal()), 4.0)

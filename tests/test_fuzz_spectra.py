@@ -235,3 +235,38 @@ def test_fuzz_restarted(shape):
     rel = np.abs(res.eigenvalues - true_k) / np.abs(true_k)
     assert res.converged
     assert np.all(rel < 1e-10), (res.eigenvalues, true_k, rel)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_generalized_pencils(seed):
+    """Random SPD pencils through rbl_generalized: random sparse symmetric
+    A, random well-conditioned SPD M (diagonal + symmetric coupling),
+    extreme ends vs the dense scipy.linalg.eigh(A, M) oracle."""
+    import scipy.linalg
+    import scipy.sparse as sp
+
+    from rbl_tpu.solver.generalized import rbl_generalized
+
+    rng = np.random.default_rng(100 + seed)
+    n = 260
+    A = sp.random(n, n, density=0.03, random_state=seed + 1)
+    A = sp.csr_matrix(A + A.T)
+    A.setdiag(rng.standard_normal(n) * 3.0)
+    Md = sp.random(n, n, density=0.02, random_state=seed + 50)
+    Md = (Md + Md.T) * 0.1
+    Md.setdiag(rng.uniform(1.0, 3.0, n))
+    M = sp.csr_matrix(Md)
+    w = scipy.linalg.eigh(A.toarray(), M.toarray(), eigvals_only=True)
+    cfg = RBLConfig(block_size=4, tol=1e-9)
+    for which, exact in (("LA", w[::-1][:4]), ("SA", w[:4])):
+        res = rbl_generalized(A, M, 4, cfg=cfg, which=which)
+        assert res.converged, (seed, which)
+        rel = np.max(np.abs(res.eigenvalues - exact)
+                     / np.maximum(np.abs(exact), 1e-12))
+        assert rel < 1e-8, (seed, which, rel)
+    # one interior probe (mode 3), sigma between two mid-spectrum values
+    sig = w[n // 2] + 0.29 * (w[n // 2 + 1] - w[n // 2])
+    res = rbl_generalized(A, M, 3, cfg=cfg, which="LM", sigma=sig)
+    exact = w[np.argsort(np.abs(w - sig), kind="stable")[:3]]
+    rel = np.max(np.abs(res.eigenvalues - exact) / np.abs(exact))
+    assert rel < 1e-8, (seed, rel)

@@ -59,6 +59,122 @@ class TestBlockMinres:
         assert int(itn) == 5
 
 
+class TestJacobiPrecond:
+    def test_preconditioned_matches_and_converges_faster(self):
+        from rbl_tpu.ops.minres import jacobi_psolve
+
+        # wildly scaled diagonal + weak coupling: Jacobi equilibration
+        # collapses the iteration count
+        rng = np.random.default_rng(3)
+        n = 400
+        d = np.logspace(0, 6, n)
+        A = sp.diags(d) + sp.diags([np.ones(n - 1)] * 2, [-1, 1])
+        op = rt.as_operator(A.tocsr())
+        B = jnp.asarray(rng.standard_normal((n, 3)))
+        sig = 513.7
+        X0, (it0, _) = block_minres(op.apply, B, shift=sig, tol=1e-12)
+        ps = jacobi_psolve(op.diagonal() - sig)
+        X1, (it1, _) = block_minres(op.apply, B, shift=sig, tol=1e-12,
+                                    psolve=ps)
+        # measured: unpreconditioned MINRES stalls at the 3n = 1200 cap
+        # with residual ~1.5; quantile-clamped Jacobi converges in 64
+        # iterations to 2e-12
+        res1 = op.apply(X1) - sig * X1 - B
+        assert float(jnp.max(jnp.abs(res1))) < 1e-9
+        assert int(it1) < 200
+        assert int(it1) * 5 < int(it0)
+
+    def test_zero_crossing_pencil_not_harmed(self):
+        # d = diag(A) − σ·diag(M) crosses zero: naive 1/|d| Jacobi WORSENS
+        # conditioning (767 → 13k measured) and stalls MINRES; the
+        # quantile clamp must keep the preconditioned solve at least as
+        # good as the unpreconditioned one AND accurate
+        import scipy.linalg
+
+        from rbl_tpu.ops.minres import jacobi_psolve
+
+        dA = np.linspace(1.0, 500.0, 500)
+        A = sp.diags(dA).tocsr()
+        M = sp.diags([0.3, 2.0, 0.3], [-1, 0, 1], shape=(500, 500)).tocsr()
+        w = scipy.linalg.eigh(A.toarray(), M.toarray(), eigvals_only=True)
+        sig = 0.5 * (w[300] + w[301])
+        opA, opM = rt.as_operator(A), rt.as_operator(M)
+
+        def f(V):
+            return opA.apply(V) - sig * opM.apply(V)
+
+        rng = np.random.default_rng(9)
+        B = jnp.asarray(rng.standard_normal((500, 2)))
+        ps = jacobi_psolve(opA.diagonal() - sig * opM.diagonal())
+        X1, (it1, _) = block_minres(f, B, tol=1e-11, psolve=ps)
+        _, (it0, _) = block_minres(f, B, tol=1e-11)
+        Xtrue = np.linalg.solve((A - sig * M).toarray(), np.asarray(B))
+        assert np.max(np.abs(np.asarray(X1) - Xtrue)) < 1e-9
+        assert int(it1) <= int(it0) + 50
+
+    def test_diagonal_protocol_all_formats(self):
+        from rbl_tpu.ops.spmm.coo import CooOperator, HybOperator
+        from rbl_tpu.ops.spmm.dia import DiaOperator
+        from rbl_tpu.ops.spmm.ell import SparseEllOperator
+        from rbl_tpu.ops.spmm.pallas_bsr import BlockSparseOperator
+
+        rng = np.random.default_rng(4)
+        n = 150
+        # banded sparsity (17 diagonals) so the SAME matrix exercises every
+        # format including DIA (which rejects unbanded matrices)
+        Ad = np.zeros((n, n))
+        for off in range(-8, 9):
+            v = rng.standard_normal(n - abs(off))
+            v[np.abs(v) < 0.8] = 0.0
+            Ad += np.diag(v, off)
+        Ad = Ad + Ad.T
+        np.fill_diagonal(Ad, rng.standard_normal(n) + 5.0)
+        A = sp.csr_matrix(Ad)
+        want = Ad.diagonal()
+        for cls in (CooOperator, DiaOperator, SparseEllOperator,
+                    HybOperator):
+            got = np.asarray(cls.from_scipy(A).diagonal())
+            np.testing.assert_allclose(got, want, rtol=1e-14, atol=0,
+                                       err_msg=cls.__name__)
+        got = np.asarray(
+            BlockSparseOperator.from_scipy(A, dtype=jnp.float32).diagonal()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg="BlockSparseOperator")
+        # dense, diagonal, affine, stencils
+        np.testing.assert_allclose(
+            np.asarray(rt.DenseOperator(jnp.asarray(Ad)).diagonal()), want)
+        dop = rt.DiagonalOperator(jnp.asarray(want))
+        np.testing.assert_allclose(np.asarray(dop.diagonal()), want)
+        from rbl_tpu.ops.spmm.operator import AffineOperator
+
+        aff = AffineOperator.shift(dop, 2.0, -1.5)
+        np.testing.assert_allclose(np.asarray(aff.diagonal()),
+                                   2.0 * want - 1.5)
+        assert float(rt.Laplacian2D(nx=4, ny=4).diagonal()[0]) == 4.0
+        assert float(rt.Laplacian3D(nx=3, ny=3, nz=3).diagonal()[0]) == 6.0
+        # matrix-free operators opt out
+        assert rt.FunctionOperator(
+            fun=lambda X: X, _n=8, _dtype=jnp.float64
+        ).diagonal() is None
+
+    def test_shift_invert_precond_matches_none(self):
+        d = np.logspace(0, 4, 250)
+        A = (sp.diags(d) + 0.5 * sp.diags([np.ones(249)] * 2, [-1, 1])
+             ).tocsr()
+        op = rt.as_operator(A)
+        rng = np.random.default_rng(5)
+        B = jnp.asarray(rng.standard_normal((250, 2)))
+        sig = 97.3
+        got = {}
+        for pc in ("jacobi", "none"):
+            si = ShiftInvertOperator.shift(op, sig, inner_tol=1e-12,
+                                           precond=pc)
+            got[pc] = np.asarray(si.apply(B))
+        np.testing.assert_allclose(got["jacobi"], got["none"],
+                                   rtol=1e-7, atol=1e-9)
+
+
 class TestEigshSigma:
     def test_interior_matches_scipy(self):
         n = 300

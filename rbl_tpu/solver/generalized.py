@@ -162,7 +162,11 @@ def rbl_generalized(
         "cayley" (mode 5) — ν = (λ+σ)/(λ−σ), M SPD, B = M: the operator
         is exactly I + 2σ·W_normal, so it reuses the mode-3 transform.
         ``m_bounds``/``degree``/``approx_tol`` describe the B operator
-        (M, or A for buckling).
+        (M, or A for buckling).  NB the series degree grows like
+        √κ(B)·log(1/approx_tol): buckling on a raw FEM STIFFNESS
+        (κ ~ n²) will exhaust ``max_degree`` and its λ_min is hard to
+        certify — rescale/precondition K, or pass explicit ``m_bounds``
+        and ``degree`` (consistent-MASS pencils, κ(M) = O(1), are cheap).
     m_bounds: optional (λ_min(M), λ_max(M)) overrides (either entry may be
         None).  When absent, both ends are certified by short extreme-end
         solves on M widened by their residual bounds.  λ_min must be

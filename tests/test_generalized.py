@@ -332,6 +332,47 @@ class TestGeneralizedShiftInvert:
         V = res.eigenvectors
         assert np.max(np.abs(V.T @ (M @ V) - np.eye(3))) < 1e-8
 
+    def test_modes_cross_check_vs_scipy_arpack(self):
+        # scipy's eigsh drives the REAL ARPACK modes (with a factorization
+        # we deliberately avoid); our factorization-free transforms must
+        # reproduce its eigenvalues for normal/buckling/cayley
+        import scipy.sparse.linalg as sla
+
+        n = 240
+        h = 1.0 / (n + 1)
+        A = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)
+                     ).tocsr() / h
+        M = sp.diags([1.0, 4.0, 1.0], [-1, 0, 1], shape=(n, n)
+                     ).tocsr() * (h / 6)
+        sig = 800.0
+        for mode in ("normal", "cayley"):
+            w_sp = sla.eigsh(A, 4, M=M, sigma=sig, mode=mode,
+                             return_eigenvectors=False)
+            w_rt = rt.eigsh(A, 4, M=M, sigma=sig, mode=mode, tol=1e-9,
+                            return_eigenvectors=False)
+            np.testing.assert_allclose(
+                np.sort(w_rt), np.sort(w_sp), rtol=1e-8, err_msg=mode
+            )
+        # buckling takes B = A roots: use a well-conditioned SPD A (a
+        # stiffness-like κ ~ n² matrix needs explicit m_bounds/degree —
+        # documented limitation of the factorization-free route) and an
+        # indefinite geometric-stiffness M
+        rng = np.random.default_rng(11)
+        Ab = sp.diags([-np.ones(n - 1), rng.uniform(4.0, 9.0, n),
+                       -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+        Mb = sp.csr_matrix(
+            sp.diags(np.where(np.arange(n) % 2 == 0, 1.0, -1.0))
+            + 0.2 * sp.diags([np.ones(n - 1), np.ones(n - 1)], [-1, 1])
+        )
+        sigb = 9.7
+        w_sp = sla.eigsh(Ab, 4, M=Mb, sigma=sigb, mode="buckling",
+                         return_eigenvectors=False)
+        w_rt = rt.eigsh(Ab, 4, M=Mb, sigma=sigb, mode="buckling",
+                        tol=1e-9, return_eigenvectors=False)
+        np.testing.assert_allclose(
+            np.sort(w_rt), np.sort(w_sp), rtol=1e-8, err_msg="buckling"
+        )
+
     def test_mode_validation(self):
         A, M, _ = _wellcond()
         with pytest.raises(ValueError, match="requires sigma"):

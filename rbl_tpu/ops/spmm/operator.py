@@ -158,6 +158,14 @@ class GramOperator(LinearOperator):
         Y = jnp.dot(F, X, preferred_element_type=acc)
         return jnp.dot(S, Y, preferred_element_type=acc)
 
+    def diagonal(self):
+        # diag(BᵀB) = squared column norms (rows for the B·Bᵀ side)
+        ax = 1 if self.left else 0
+        return jnp.sum(
+            jnp.square(self.B), axis=ax,
+            dtype=_pet(self.B.dtype),
+        ).astype(self.B.dtype)
+
 
 @register_operator
 @dataclasses.dataclass(frozen=True)
@@ -217,6 +225,20 @@ class SparseGramOperator(LinearOperator):
         if self.left:
             return self.Bf.apply(self.Bt.apply(X))
         return self.Bt.apply(self.Bf.apply(X))
+
+    def diagonal(self):
+        # diag(BᵀB)_j = Σ_{nnz with col j} val² (rows for the B·Bᵀ side);
+        # COO pad slots carry val 0, so they contribute nothing
+        if self.left:
+            idx, n = self.Bf.rows, self.Bf.shape[0]
+            sorted_ = True  # Bf triplets are row-sorted
+        else:
+            idx, n = self.Bf.cols, self.Bf.shape[1]
+            sorted_ = False
+        return jax.ops.segment_sum(
+            jnp.square(self.Bf.vals), idx, num_segments=n,
+            indices_are_sorted=sorted_,
+        )
 
     @classmethod
     def from_scipy(cls, B, dtype=None, left: bool = False):

@@ -158,6 +158,25 @@ class TestJacobiPrecond:
             fun=lambda X: X, _n=8, _dtype=jnp.float64
         ).diagonal() is None
 
+    def test_gram_diagonals(self):
+        from rbl_tpu.ops.spmm.operator import (
+            GramOperator,
+            SparseGramOperator,
+        )
+
+        rng = np.random.default_rng(6)
+        Bd = rng.standard_normal((70, 40))
+        Bd[np.abs(Bd) < 1.0] = 0.0
+        for left, G in ((False, Bd.T @ Bd), (True, Bd @ Bd.T)):
+            got = np.asarray(
+                GramOperator(B=jnp.asarray(Bd), left=left).diagonal()
+            )
+            np.testing.assert_allclose(got, np.diag(G), rtol=1e-12)
+            gots = np.asarray(SparseGramOperator.from_scipy(
+                sp.csr_matrix(Bd), left=left
+            ).diagonal())
+            np.testing.assert_allclose(gots, np.diag(G), rtol=1e-12)
+
     def test_shift_invert_precond_matches_none(self):
         d = np.logspace(0, 4, 250)
         A = (sp.diags(d) + 0.5 * sp.diags([np.ones(249)] * 2, [-1, 1])

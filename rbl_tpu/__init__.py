@@ -53,7 +53,7 @@ from .ops.generalized import (
 from .solver.filtered import FilterInfo, rbl_filtered
 from .solver.generalized import PencilInfo, rbl_generalized
 from .ops.spmm.pallas_bsr import BlockSparseOperator
-from .solver.lanczos import LanczosResult
+from .solver.lanczos import LanczosResult, SweepAborted
 from .solver.rbl import RBL, RBL_gpu, rbl
 from .solver.restarted import RBL_gpu_restarted, RBL_restarted, rbl_restarted
 from .solver.svd import SVDResult, rbl_svd
@@ -97,6 +97,7 @@ __all__ = [
     "rbl_filtered",
     "PencilInfo",
     "rbl_generalized",
+    "SweepAborted",
 ]
 
 __version__ = "0.1.0"

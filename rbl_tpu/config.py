@@ -148,6 +148,20 @@ class RBLConfig:
     adaptive_reorth_max: int = 1
     matmul_precision: str = "high"
 
+    # --- fault tolerance (SURVEY §5: the reference has none) ---
+    # Mid-sweep checkpointing of the MAIN solver: at every
+    # ``sweep_checkpoint_every``-th cleanly-processed chunk boundary the
+    # full sweep state (basis prefix, recurrence triple, T band, coupling
+    # history, reorth-policy flags) is written atomically to
+    # ``sweep_checkpoint_path``; ``rbl`` auto-resumes from an existing
+    # file and deletes it when the solve completes.  None disables.
+    # ``fault_inject_abort_after_chunks`` raises SweepAborted after N
+    # processed chunks — deterministic preemption injection for testing
+    # the checkpoint/resume path.
+    sweep_checkpoint_path: Optional[str] = None
+    sweep_checkpoint_every: int = 1
+    fault_inject_abort_after_chunks: Optional[int] = None
+
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)
     restart_growth: int = 10         # sweep growth per restart (restarted.jl:142)
@@ -165,7 +179,7 @@ class RBLConfig:
         for name in ("partial_reorth_cadence", "eig_poll_cadence",
                      "loc_reorth_passes", "restart_reorth_cadence",
                      "chunk_growth_cap", "pipeline_depth",
-                     "adaptive_reorth_max"):
+                     "adaptive_reorth_max", "sweep_checkpoint_every"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be ≥ 1")
         if self.qr_method not in ("auto", "householder", "cholqr2", "cholqr3"):

@@ -246,6 +246,43 @@ class BasisStore:
         """The pinned-host overflow panels, oldest first (may be empty)."""
         return self.host_panels
 
+    def snapshot(self, ncols: int):
+        """The first ``ncols`` stored columns as one host numpy array
+        (assembled across both tiers) — the sweep-checkpoint payload
+        (utils/checkpoint.py).  Sub-f32 storage upcasts to f32 (numpy has
+        no portable bf16 serialization); resume casts back."""
+        import numpy as np
+
+        assert ncols <= self.ncols, (ncols, self.ncols)
+        parts = []
+        got = 0
+        for panel in self.host_panels:
+            if got >= ncols:
+                break
+            w = min(panel.shape[1], ncols - got)
+            parts.append(np.asarray(panel[:, :w]))
+            got += w
+        if got < ncols:
+            parts.append(np.asarray(self.buf[:, : ncols - got]))
+        out = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        if out.dtype.itemsize < 4:
+            out = out.astype(np.float32)
+        return out
+
+    def load_snapshot(self, basis) -> None:
+        """Refill an EMPTY store from a ``snapshot`` array, re-applying
+        dtype, sharding, and the host-offload policy block by block."""
+        import numpy as np
+
+        assert self.ncols == 0, "load_snapshot requires a fresh store"
+        basis = np.asarray(basis)
+        dt = self.buf.dtype
+        for c in range(0, basis.shape[1], self.b):
+            blk = jnp.asarray(basis[:, c : c + self.b], dtype=dt)
+            if self.sharding is not None:
+                blk = jax.device_put(blk, self.sharding)
+            self.append(blk)
+
     def reset(self):
         self.buf = jnp.zeros_like(self.buf)
         self.ncols = 0

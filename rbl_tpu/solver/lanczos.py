@@ -49,6 +49,13 @@ def _dbg(msg):
         print(f"[rbl] {msg}", flush=True)
 
 
+class SweepAborted(RuntimeError):
+    """Raised by the deterministic preemption injector
+    (``RBLConfig.fault_inject_abort_after_chunks``) — simulates losing the
+    process mid-sweep so the checkpoint/resume path can be tested without
+    actually killing anything."""
+
+
 # Worker for host-side eig factorizations, overlapped with device sweeps
 # (LAPACK releases the GIL).  One thread: at most one poll is in flight.
 _EIG_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
@@ -528,12 +535,18 @@ def lanczos_iteration(
     lock_basis=None,
     timer=None,
     key=None,
+    resume: Optional[dict] = None,
 ) -> tuple[np.ndarray, np.ndarray, "BlockTridiagonalT", Optional[np.ndarray], bool, int]:
     """Run the block Lanczos sweep until convergence or the Krylov cap.
 
     Returns (w_sel ascending-|λ|, V_sel, T, residual_bounds, converged, nblocks)
     where V_sel has nblocks*b rows and k columns.  ``store`` holds all
     nblocks basis blocks on return.
+
+    ``resume``: a ``utils.checkpoint.load_sweep_state`` dict — restores the
+    between-chunks invariant (basis prefix in ``store``, which must come in
+    EMPTY; recurrence triple; T band; flags) and continues the sweep from
+    the saved iteration instead of running the randomized first step.
     """
     from ..utils.profiling import null_timer
 
@@ -550,15 +563,28 @@ def lanczos_iteration(
         key = jax.random.PRNGKey(cfg.seed + 1)
     eps = float(jnp.finfo(cdt).eps)
 
-    # --- first iteration, unrolled ---
-    with timer.section("recurrence"):
-        Qnext, Bnext, Ai = _first_step(op, Qi, cdt=cdt, qr_method=qr_method)
-    AB0 = np.asarray(jnp.stack([Ai, Bnext.astype(Ai.dtype)]))  # one transfer
-    T.append_diag(AB0[0])
-    T.set_subdiag(AB0[1], 0)
-    tscale = np.abs(AB0[0]).max()
-    B_last = AB0[1]  # host copy of the newest B (degenerate-cap fallback)
-    Qprev, Qi, Bi = Qi, Qnext, Bnext
+    if resume is not None:
+        if int(resume["n"]) != n or int(resume["b"]) != b:
+            raise ValueError(
+                f"checkpoint shape mismatch: saved (n={resume['n']}, "
+                f"b={resume['b']}) vs current (n={n}, b={b})"
+            )
+        if int(resume["T_ncols"]) > T.band.shape[1]:
+            raise ValueError(
+                f"checkpoint Krylov prefix {resume['T_ncols']} exceeds the "
+                f"current cap {max_kryl} — raise max_kryl_dim"
+            )
+        AB0 = None
+    else:
+        # --- first iteration, unrolled ---
+        with timer.section("recurrence"):
+            Qnext, Bnext, Ai = _first_step(op, Qi, cdt=cdt, qr_method=qr_method)
+        AB0 = np.asarray(jnp.stack([Ai, Bnext.astype(Ai.dtype)]))  # one transfer
+        T.append_diag(AB0[0])
+        T.set_subdiag(AB0[1], 0)
+        tscale = np.abs(AB0[0]).max()
+        B_last = AB0[1]  # host copy of the newest B (degenerate-cap fallback)
+        Qprev, Qi, Bi = Qi, Qnext, Bnext
 
     # --- chunked, speculatively pipelined sweep ---
     # Every device→host transfer over a remote-attached TPU costs a full
@@ -577,22 +603,64 @@ def lanczos_iteration(
     # zeroing the speculated basis columns.
     w_sel = V_sel = bounds = None
     poll_chain = {}    # previous screen, threaded through the eig worker
-    next_poll_cols = 0  # geometric poll backoff (see the poll block)
-    fine_poll = False  # near convergence: pin polls to the base cadence
-    danger = False     # near-invariant-subspace reorth escalation
-    selective = False  # sticky: dominant Ritz pair converged on a spectrum
-    #                    with compounding dominance — see harvest()
-    calm_chunks = 0    # consecutive chunks clear of the danger regime
-    B_hist = {1: AB0[1]}  # B_{j+1} produced at iteration j, host copies
-    #                       (poll prefixes need the coupling block at any
-    #                       panel, not just this chunk's — 25 KB at cap)
     converged = False
-    i = 1              # Lanczos iterations completed (host view)
     i_max = max_kryl // b
-    i_next = 2         # first iteration of the next chunk to dispatch
-    dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
     pr = cfg.partial_reorth_cadence
-    pr_stretch = 1  # adaptive full-scrub stretch (cfg.adaptive_reorth_max)
+    if resume is None:
+        next_poll_cols = 0  # geometric poll backoff (see the poll block)
+        fine_poll = False  # near convergence: pin polls to the base cadence
+        danger = False     # near-invariant-subspace reorth escalation
+        selective = False  # sticky: dominant Ritz pair converged on a
+        #                    spectrum with compounding dominance — harvest()
+        calm_chunks = 0    # consecutive chunks clear of the danger regime
+        B_hist = {1: AB0[1]}  # B_{j+1} produced at iteration j, host copies
+        #                       (poll prefixes need the coupling block at any
+        #                       panel, not just this chunk's — 25 KB at cap)
+        i = 1              # Lanczos iterations completed (host view)
+        i_next = 2         # first iteration of the next chunk to dispatch
+        dev = (Qi, Qprev, Bi)  # device-side recurrence state (dispatch order)
+        pr_stretch = 1  # adaptive full-scrub stretch (adaptive_reorth_max)
+    else:
+        # --- restore the between-chunks invariant from a checkpoint ---
+        # (stored basis = Q_1..Q_{i-1} goes into the empty store; the
+        # recurrence triple is (Q_{i+1}, Q_i, B_{i+1}); T's band already
+        # includes the edge subdiag written at the end of the saved chunk)
+        bdt = store.buf.dtype
+        store.load_snapshot(resume["basis"])
+        tc = int(resume["T_ncols"])
+        T.band[:, :tc] = resume["band"][:, :tc]
+        T.ncols = tc
+        tscale = float(resume["tscale"])
+        B_last = np.asarray(resume["B_last"], dtype=np.float64)
+        B_hist = {
+            int(j): np.asarray(v, dtype=np.float64)
+            for j, v in resume["B_hist"].items()
+        }
+        i = int(resume["i"])
+        i_next = i + 1
+        next_poll_cols = int(resume["next_poll_cols"])
+        fine_poll = bool(resume["fine_poll"])
+        danger = bool(resume["danger"])
+        selective = bool(resume["selective"])
+        calm_chunks = int(resume["calm_chunks"])
+        pr_stretch = int(resume["pr_stretch"])
+
+        def _dev_arr(x, dt):
+            a = jnp.asarray(np.asarray(x), dtype=dt)
+            if store.sharding is not None and a.ndim == 2 and a.shape[0] == n:
+                a = jax.device_put(a, store.sharding)
+            return a
+
+        Qprev = _dev_arr(resume["Q_i"], bdt)
+        dev = (
+            _dev_arr(resume["Q_ip1"], bdt),
+            Qprev,
+            jnp.asarray(np.asarray(resume["B_ip1"]), dtype=cdt),
+        )
+        key = jnp.asarray(
+            np.asarray(resume["key"], dtype=np.uint32)
+        )
+        _dbg(f"resumed sweep at i={i} ({(i - 1) * b} basis columns)")
 
     # Rank check of the FIRST coupling block (the chunk scan below covers
     # later steps): a start block wider than the reachable subspace — e.g.
@@ -605,34 +673,41 @@ def lanczos_iteration(
     # freezes the locked value at its current error (measured 2e-5 on the
     # moderate-decay restart suite).  Between the two levels the coupling
     # is honest but ghost-prone — danger-mode reorth, no discard.
-    if not np.all(np.isfinite(AB0)):
-        # same numerical-health diagnostic the chunk loop raises — without
-        # this, the SVD below would fail first with an unhelpful
-        # "SVD did not converge" on non-finite step-1 output
-        raise FloatingPointError(
-            "non-finite T blocks at iteration 1 — operator output or "
-            "precision configuration is unstable "
-            f"(basis_dtype={cfg.basis_dtype}, compute_dtype={cfg.compute_dtype})"
-        )
-    sv0 = np.linalg.svd(AB0[1], compute_uv=False)
-    thr0 = 100.0 * eps * max(tscale, np.finfo(np.float64).tiny)
-    if thr0 <= sv0[-1] < np.sqrt(eps) * tscale:
-        danger = True
-    if sv0[-1] < thr0:
-        r0 = int(np.sum(sv0 >= thr0))  # may be 0: all σ at the floor
-        key, sub = jax.random.split(key)
-        with timer.section("rerandomize"):
-            Q2, B_new0 = _repair_block(
-                store, Qprev, Qi, AB0[1], r0, lock_basis, sub, qr_method
+    if AB0 is not None:  # first-step path only (a resume skips iteration 1)
+        if not np.all(np.isfinite(AB0)):
+            # same numerical-health diagnostic the chunk loop raises —
+            # without this, the SVD below would fail first with an unhelpful
+            # "SVD did not converge" on non-finite step-1 output
+            raise FloatingPointError(
+                "non-finite T blocks at iteration 1 — operator output or "
+                "precision configuration is unstable "
+                f"(basis_dtype={cfg.basis_dtype}, compute_dtype={cfg.compute_dtype})"
             )
-        _dbg(f"partial breakdown at i=1: rank {r0}/{b} — repaired")
-        T.set_subdiag(B_new0, 0)
-        B_last = B_new0
-        B_hist[1] = B_new0
-        dev = (Q2, Qprev, jnp.asarray(B_new0))
-        danger = True  # at an invariant subspace: every-step CGS2
+        sv0 = np.linalg.svd(AB0[1], compute_uv=False)
+        thr0 = 100.0 * eps * max(tscale, np.finfo(np.float64).tiny)
+        if thr0 <= sv0[-1] < np.sqrt(eps) * tscale:
+            danger = True
+        if sv0[-1] < thr0:
+            r0 = int(np.sum(sv0 >= thr0))  # may be 0: all σ at the floor
+            key, sub = jax.random.split(key)
+            with timer.section("rerandomize"):
+                Q2, B_new0 = _repair_block(
+                    store, Qprev, Qi, AB0[1], r0, lock_basis, sub, qr_method
+                )
+            _dbg(f"partial breakdown at i=1: rank {r0}/{b} — repaired")
+            T.set_subdiag(B_new0, 0)
+            B_last = B_new0
+            B_hist[1] = B_new0
+            dev = (Q2, Qprev, jnp.asarray(B_new0))
+            danger = True  # at an invariant subspace: every-step CGS2
 
-    n_chunks = 0  # chunks dispatched so far (drives geometric chunk growth)
+    # chunks dispatched so far (drives geometric chunk growth)
+    n_chunks = int(resume["n_chunks"]) if resume is not None else 0
+    chunks_done = int(resume["chunks_done"]) if resume is not None else 0
+    # checkpoint-policy plumbing: see RBLConfig.sweep_checkpoint_path
+    ck_path = cfg.sweep_checkpoint_path
+    ck_every = cfg.sweep_checkpoint_every
+    abort_after = cfg.fault_inject_abort_after_chunks
 
     def dispatch():
         """Launch one chunk against the current device state (async)."""
@@ -1313,6 +1388,37 @@ def lanczos_iteration(
                 break
         if collapse_at is None and explosion_at is None:
             T.set_subdiag(B_last, i - 1)
+        chunks_done += 1
+        handler_fired = any(
+            x is not None
+            for x in (collapse_at, danger_at, partial_at, explosion_at)
+        )
+        if ck_path and not handler_fired and chunks_done % ck_every == 0:
+            # Clean chunk boundary: the invariant state is exactly what
+            # resume needs — basis prefix Q_1..Q_{i-1}, the triple
+            # (Q_{i+1}, Q_i, B_{i+1}) from THIS chunk's snapshot (``dev``
+            # may already hold speculated later state), T including the
+            # edge subdiag just written, and the policy flags.
+            from ..utils.checkpoint import save_sweep_state
+
+            with timer.section("checkpoint"):
+                save_sweep_state(ck_path, dict(
+                    n=n, b=b, k=k, i=i, chunks_done=chunks_done,
+                    n_chunks=n_chunks,
+                    T_ncols=T.ncols, band=T.band[:, : T.ncols],
+                    basis=store.snapshot((i - 1) * b),
+                    Q_ip1=cur["Qi"], Q_i=cur["Qprev"], B_ip1=cur["Bi"],
+                    tscale=float(tscale), B_last=B_last, B_hist=B_hist,
+                    danger=danger, selective=selective,
+                    calm_chunks=calm_chunks, pr_stretch=pr_stretch,
+                    fine_poll=fine_poll, next_poll_cols=next_poll_cols,
+                    key=np.asarray(key),
+                ))
+        if abort_after is not None and chunks_done >= abort_after:
+            raise SweepAborted(
+                f"fault injection: aborting after {chunks_done} processed "
+                f"chunks (i={i})"
+            )
         top_up()
 
     final_panels = None if pending is None else pending["npanels"]

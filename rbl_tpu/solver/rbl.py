@@ -6,6 +6,7 @@ multi-chip row-sharded mesh depending on cfg.mesh.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -185,9 +186,23 @@ def _rbl_impl(op, k, cfg, compute_eigenvectors, timer, v0=None, deflate=None):
         device_cap_cols=cfg.basis_device_cap_cols,
     )
 
+    # Mid-sweep fault tolerance (SURVEY §5: the reference has none): an
+    # existing checkpoint at sweep_checkpoint_path means a previous solve
+    # was interrupted — resume it instead of restarting.  The file is
+    # deleted once THIS solve completes, so a finished solve never leaks
+    # stale state into the next call.
+    resume = None
+    ck_path = cfg.sweep_checkpoint_path
+    if ck_path is not None and os.path.exists(ck_path):
+        from ..utils.checkpoint import load_sweep_state
+
+        resume = load_sweep_state(ck_path)
+
     w_sel, V_sel, T, bounds, converged, nblocks = lanczos_iteration(
-        op, k, cfg, Qi, store, lock_basis=lock, timer=timer
+        op, k, cfg, Qi, store, lock_basis=lock, timer=timer, resume=resume
     )
+    if ck_path is not None and os.path.exists(ck_path):
+        os.remove(ck_path)
 
     # ascending-|λ| → descending, as the reference returns
     # (D[end:-1:1], V[:,end:-1:1] — RBL.jl:116)

@@ -1,12 +1,24 @@
-"""Checkpoint / resume for the restarted solver.
+"""Checkpoint / resume.
 
-The reference has no checkpointing (SURVEY §5); its restart boundary is the
-natural save point — solver state compresses to (lock set, locked values,
-count, sweep length, next start block).  Stored as a single .npz; arrays are
-materialized to host, and re-sharded on load if a mesh is active.
+The reference has no checkpointing (SURVEY §5).  Two save surfaces here:
+
+- Restart boundary (restarted solver): state compresses to (lock set,
+  locked values, count, sweep length, next start block).
+- Sweep-chunk boundary (MAIN solver, ``RBLConfig.sweep_checkpoint_path``):
+  the full mid-sweep state at the documented between-chunks invariant —
+  basis prefix Q_1..Q_{i-1}, the in-flight recurrence triple
+  (Q_{i+1}, Q_i, B_{i+1}), the T band, the coupling history, and the
+  reorth-policy flags — written atomically (tmp + rename) every
+  ``sweep_checkpoint_every`` clean chunks and deleted on completion.
+
+Stored as a single .npz; arrays are materialized to host (sub-f32 dtypes
+upcast to f32 — numpy has no portable bf16), and re-sharded on load if a
+mesh is active.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -44,3 +56,54 @@ def load_restart_state(path: str, sharding=None):
         Qi=Qi,
         restarts=int(z["restarts"]),
     )
+
+
+def _np32(x):
+    """Host copy, sub-f32 upcast to f32 (portable serialization)."""
+    a = np.asarray(x)
+    return a.astype(np.float32) if a.dtype.itemsize < 4 else a
+
+
+def save_sweep_state(path: str, state: dict) -> None:
+    """Atomically persist a mid-sweep checkpoint (lanczos_iteration).
+
+    ``state`` carries numpy/jax arrays and python scalars; the write goes
+    through a temp file + rename so a crash mid-save can never leave a
+    torn checkpoint behind."""
+    payload = {}
+    for k, v in state.items():
+        if isinstance(v, dict):  # B_hist: {iteration: (b, b)}
+            keys = np.asarray(sorted(v.keys()), dtype=np.int64)
+            payload[f"{k}__keys"] = keys
+            payload[f"{k}__vals"] = np.stack(
+                [np.asarray(v[int(i)], dtype=np.float64) for i in keys]
+            ) if keys.size else np.zeros((0,))
+        elif isinstance(v, (bool, int, float)):
+            payload[k] = np.asarray(v)
+        else:
+            payload[k] = _np32(v)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_sweep_state(path: str) -> dict:
+    """Inverse of ``save_sweep_state`` — scalars back to python types,
+    dict-valued entries reassembled."""
+    z = np.load(path)
+    out: dict = {}
+    dicts: dict = {}
+    for k in z.files:
+        if k.endswith("__keys"):
+            dicts.setdefault(k[: -len("__keys")], {})["keys"] = z[k]
+        elif k.endswith("__vals"):
+            dicts.setdefault(k[: -len("__vals")], {})["vals"] = z[k]
+        else:
+            a = z[k]
+            out[k] = a.item() if a.ndim == 0 else a
+    for name, kv in dicts.items():
+        out[name] = {
+            int(i): kv["vals"][j] for j, i in enumerate(kv["keys"])
+        }
+    return out

@@ -202,6 +202,11 @@ def eigsh(
         if n is not None and not (0 < k <= n):
             raise ValueError(f"k={k} out of range for n={n}")
         k_hi, k_lo = (k + 1) // 2, k // 2
+        # two independent half-solves must not share one mid-sweep
+        # checkpoint file (a crash in the second would make a rerun's
+        # FIRST half resume the second's state)
+        cfg_be = cfg.replace(sweep_checkpoint_path=None,
+                             fault_inject_abort_after_chunks=None)
         parts = []
         for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
             if kk == 0:
@@ -209,7 +214,7 @@ def eigsh(
             # honor an explicit user block size; only the DEFAULT shrinks
             # to the half-solve's smaller k
             r = rbl(
-                A, kk, b=b or _default_block(kk), cfg=cfg, which=end,
+                A, kk, b=b or _default_block(kk), cfg=cfg_be, which=end,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
             )
             parts.append(r)
@@ -277,12 +282,16 @@ def _eigsh_generalized(
         if n is not None and not (0 < k <= n):
             raise ValueError(f"k={k} out of range for n={n}")
         k_hi, k_lo = (k + 1) // 2, k // 2
+        # see the standard-path BE split: independent half-solves must not
+        # share one mid-sweep checkpoint file
+        cfg_be = cfg.replace(sweep_checkpoint_path=None,
+                             fault_inject_abort_after_chunks=None)
         parts = []
         for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
             if kk == 0:
                 continue
             parts.append(rbl_generalized(
-                A, M, kk, b=b or _default_block(kk), cfg=cfg, which=end,
+                A, M, kk, b=b or _default_block(kk), cfg=cfg_be, which=end,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
             ))
         w = np.concatenate(

@@ -155,6 +155,10 @@ class RBLConfig:
     # history, reorth-policy flags) is written atomically to
     # ``sweep_checkpoint_path``; ``rbl`` auto-resumes from an existing
     # file and deletes it when the solve completes.  None disables.
+    # The path identifies ONE logical solve: never share it across
+    # different operators/solves (resume would continue the wrong sweep);
+    # internal multi-solve paths (eigsh BE halves, restarted inner
+    # sweeps, M-bounds certification) strip it automatically.
     # ``fault_inject_abort_after_chunks`` raises SweepAborted after N
     # processed chunks — deterministic preemption injection for testing
     # the checkpoint/resume path.

@@ -72,6 +72,10 @@ def _certify_m_bounds(opB: LinearOperator, cfg: RBLConfig, label: str = "M"
         block_size=4,
         max_kryl_dim=min(cfg.max_kryl_dim, max(96, 8 * 4)),
         tol=1e-6 * nbM,
+        # internal probe solves must not share the caller's mid-sweep
+        # checkpoint file (they would resume each other's state)
+        sweep_checkpoint_path=None,
+        fault_inject_abort_after_chunks=None,
     )
     ends = {}
     for end in ("SA", "LA"):

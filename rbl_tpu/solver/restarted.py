@@ -81,7 +81,14 @@ def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf,
     Qi, _ = block_qr(Qi.astype(cdt), method=qr_method)
     Qi = Qi.astype(cfg.basis_dtype)
 
-    sweep_cfg = cfg.replace(max_kryl_dim=cfg.restart_kryl_dim)
+    # restart-boundary checkpoints (RestartState) are this variant's
+    # fault-tolerance surface — strip the MAIN solver's mid-sweep knobs so
+    # successive inner sweeps can't fight over one checkpoint file
+    sweep_cfg = cfg.replace(
+        max_kryl_dim=cfg.restart_kryl_dim,
+        sweep_checkpoint_path=None,
+        fault_inject_abort_after_chunks=None,
+    )
     w, V, T, bounds, converged, nb = lanczos_iteration(
         op, k_rem, sweep_cfg, Qi, store, lock_basis=lock_buf, timer=timer
     )

@@ -97,6 +97,49 @@ class TestSweepCheckpoint:
             rt.rbl(_slow_diag(200), k, cfg=cfg.replace(
                 fault_inject_abort_after_chunks=None))
 
+    def test_resume_on_mesh(self, tmp_path):
+        # abort + resume with everything row-sharded over 8 virtual
+        # devices: load_snapshot and the recurrence triple must re-shard
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+        from rbl_tpu.parallel.mesh import make_row_mesh
+
+        mesh = make_row_mesh(8)
+        n, k = 320, 5
+        A = _slow_diag(n)
+        kw = dict(BASE, mesh=mesh)
+        Ash = ShardedCooSpMM.from_scipy(A, mesh)
+        ref = rt.rbl(Ash, k, cfg=RBLConfig(**kw))
+        ck = str(tmp_path / "sweep_mesh.npz")
+        cfg = RBLConfig(**kw, sweep_checkpoint_path=ck,
+                        fault_inject_abort_after_chunks=3)
+        with pytest.raises(rt.SweepAborted):
+            rt.rbl(Ash, k, cfg=cfg)
+        res = rt.rbl(Ash, k, cfg=cfg.replace(
+            fault_inject_abort_after_chunks=None))
+        assert res.converged
+        np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                                   rtol=1e-10)
+
+    def test_restarted_strips_sweep_checkpoint(self, tmp_path):
+        # rbl_restarted's fault tolerance is the RestartState boundary
+        # file; the main solver's mid-sweep knob must not leak into its
+        # inner sweeps (they would share one file across restarts)
+        from rbl_tpu.solver.restarted import rbl_restarted
+
+        ck = str(tmp_path / "never_written.npz")
+        A = _slow_diag(200)
+        cfg = RBLConfig(block_size=1, tol=1e-7, restart_kryl_dim=60,
+                        sweep_checkpoint_path=ck)
+        res = rbl_restarted(A, 3, cfg=cfg)
+        assert res.converged
+        np.testing.assert_allclose(res.eigenvalues, [200, 199, 198],
+                                   rtol=1e-9)
+        assert not os.path.exists(ck)
+
     def test_checkpoint_roundtrip_state(self, tmp_path):
         from rbl_tpu.utils.checkpoint import (
             load_sweep_state,

@@ -286,8 +286,20 @@ def rbl_generalized(
         if sigma is None:
             # --- standard-form solve on S = P·A·P ---
             S = PencilOperator(A=opA, P=P)
+            nb_S = None
+            if which in ("LA", "SA"):
+                # analytic shift bound ‖S‖ ≤ ‖A‖·‖P‖² ≤ ‖A‖/λmin(M): the
+                # power estimate runs on the CHEAP operator A instead of
+                # ~24 applies of S (each 2·degree SpMMs with M)
+                from ..ops.eig import spectral_norm_bound
+
+                nrmA = float(spectral_norm_bound(
+                    opA, jax.random.PRNGKey(cfg.seed + 7)
+                ))
+                nb_S = 1.05 * nrmA / lo
             res = rbl(
-                S, k, cfg=cfg, which=which, compute_eigenvectors=True, v0=v0
+                S, k, cfg=cfg, which=which, compute_eigenvectors=True,
+                v0=v0, norm_bound=nb_S,
             )
         else:
             # --- interior: W = B^{1/2}·(A − σM)^{−1}·B^{1/2} ---

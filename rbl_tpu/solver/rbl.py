@@ -44,6 +44,7 @@ def rbl(
     timer=None,
     v0=None,
     deflate=None,
+    norm_bound: Optional[float] = None,
 ) -> LanczosResult:
     """Compute k eigenpairs of the symmetric operator A with randomized
     block Lanczos.
@@ -64,6 +65,11 @@ def rbl(
     v0 optionally seeds the first column of the random sampling block Ω
     (the scipy ``eigsh(v0=...)`` surface); the other b−1 columns stay
     random.
+
+    norm_bound optionally supplies an upper bound on ‖A‖₂ for the LA/SA
+    spectral shift, replacing the power-method estimate (callers with
+    analytic bounds skip ~24 operator applies; must be a TRUE upper
+    bound — see the inline note).
 
     deflate optionally supplies an (n, j) block of known eigenvectors (or
     any directions) to exclude: the sweep deflates every newborn residual
@@ -97,7 +103,19 @@ def rbl(
             from ..ops.eig import spectral_norm_bound
             from ..ops.spmm.operator import AffineOperator
 
-            shift = spectral_norm_bound(op, jax.random.PRNGKey(cfg.seed + 1))
+            # norm_bound: a caller-supplied upper bound on ‖A‖₂, replacing
+            # the power-method estimate — callers with analytic bounds
+            # (e.g. rbl_generalized: ‖P·A·P‖ ≤ ‖A‖/λmin(M), avoiding ~24
+            # applies of the EXPENSIVE transformed operator) size the
+            # spectral shift for free.  Must be a true upper bound: an
+            # undershoot can leave the wrong spectrum end dominant; an
+            # overshoot only compresses relative gaps.
+            if norm_bound is not None:
+                shift = float(norm_bound)
+            else:
+                shift = spectral_norm_bound(
+                    op, jax.random.PRNGKey(cfg.seed + 1)
+                )
             op = AffineOperator.shift(
                 op, 1.0 if which == "LA" else -1.0, shift
             )

@@ -64,6 +64,56 @@ def _scipy_eig_order(
     return np.argsort(np.abs(w), kind="stable")  # LM, SA
 
 
+def _operand_n(A) -> Optional[int]:
+    """Problem size of a matrix-or-operator operand, if discoverable."""
+    n = getattr(A, "shape", (None,))[0]
+    return n if n is not None else getattr(A, "n", None)
+
+
+def _cfg_with_tol_ncv(cfg, tol, ncv, k):
+    """The shared eigsh cfg plumbing: tol → cfg.tol, ncv → Krylov cap."""
+    cfg = cfg or RBLConfig()
+    if tol and tol > 0:
+        cfg = cfg.replace(tol=float(tol))
+    if ncv is not None:
+        if ncv <= k:
+            raise ValueError(f"ncv={ncv} must exceed k={k}")
+        cfg = cfg.replace(max_kryl_dim=int(ncv))
+    return cfg
+
+
+def _be_split(A, k, cfg, return_eigenvectors, solve_half):
+    """ARPACK's BE convention: ⌈k/2⌉ pairs from the high end, ⌊k/2⌋ from
+    the low — two independent half-solves via ``solve_half(kk, end,
+    cfg_be)``, concatenated and sorted ascending.
+
+    k is validated against the FULL problem size up front (each half only
+    checks its own kk ≤ n, so k > n would otherwise silently return k
+    values with duplicates across the two ends), and the half-solves get
+    the mid-sweep checkpoint knobs stripped (two different sweeps must
+    not share one checkpoint file — a crash in the second would make a
+    rerun's FIRST half resume the second's state)."""
+    n = _operand_n(A)
+    if n is not None and not (0 < k <= n):
+        raise ValueError(f"k={k} out of range for n={n}")
+    cfg_be = cfg.replace(sweep_checkpoint_path=None,
+                         fault_inject_abort_after_chunks=None)
+    k_hi, k_lo = (k + 1) // 2, k // 2
+    parts = [
+        solve_half(kk, end, cfg_be)
+        for kk, end in ((k_hi, "LA"), (k_lo, "SA"))
+        if kk > 0
+    ]
+    w = np.concatenate(
+        [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+    )
+    order = np.argsort(w, kind="stable")
+    if not return_eigenvectors:
+        return w[order]
+    V = np.concatenate([np.asarray(r.eigenvectors) for r in parts], axis=1)
+    return w[order], V[:, order]
+
+
 def _default_block(k: int) -> int:
     # the reference benchmarks b ∈ {1,2,4,8} at k=100 (benchmark.jl:29-36)
     # and larger blocks amortize both MXU width and per-chunk dispatch cost;
@@ -150,24 +200,18 @@ def eigsh(
         raise NotImplementedError(
             f"which={which!r} not supported (LM/LA/SA/BE/SM are)"
         )
-    cfg = cfg or RBLConfig()
-    if tol and tol > 0:
-        cfg = cfg.replace(tol=float(tol))
-    if ncv is not None:
-        if ncv <= k:
-            raise ValueError(f"ncv={ncv} must exceed k={k}")
-        cfg = cfg.replace(max_kryl_dim=int(ncv))
+    cfg = _cfg_with_tol_ncv(cfg, tol, ncv, k)
     bsz = b or _default_block(k)
 
     if sigma is not None:
-        from .ops.minres import ShiftInvertOperator
+        from .ops.minres import ShiftInvertOperator, default_inner_tol
         from .ops.spmm.operator import as_operator
 
         op = as_operator(A)
         # Inner-solve error perturbs OP in a way the outer residual bounds
         # cannot see, so the inner target sits well below the outer tol
-        # (floored by what f64 MINRES can reach).
-        inner_tol = max(1e-13, min(1e-11, 1e-4 * cfg.tol))
+        # (floored by what THIS dtype's MINRES can honestly reach).
+        inner_tol = default_inner_tol(op.dtype, cfg.tol)
         si = ShiftInvertOperator.shift(op, float(sigma), inner_tol=inner_tol)
         res = rbl(
             si, k, b=bsz, cfg=cfg, which=which,
@@ -190,44 +234,17 @@ def eigsh(
         return w[order], X[:, order]
 
     if which == "BE":
-        # ARPACK's BE split: ⌈k/2⌉ from the high end, ⌊k/2⌋ from the low —
-        # two independent shifted solves (each end is an LM problem of the
-        # correspondingly shifted operator; see rbl(which="LA"/"SA")).
-        # Validate k against the FULL problem size up front: each half-solve
-        # only checks its own kk ≤ n, so k > n would otherwise silently
-        # return k values with duplicates across the two ends.
-        n = getattr(A, "shape", (None,))[0]
-        if n is None:
-            n = getattr(A, "n", None)
-        if n is not None and not (0 < k <= n):
-            raise ValueError(f"k={k} out of range for n={n}")
-        k_hi, k_lo = (k + 1) // 2, k // 2
-        # two independent half-solves must not share one mid-sweep
-        # checkpoint file (a crash in the second would make a rerun's
-        # FIRST half resume the second's state)
-        cfg_be = cfg.replace(sweep_checkpoint_path=None,
-                             fault_inject_abort_after_chunks=None)
-        parts = []
-        for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
-            if kk == 0:
-                continue
-            # honor an explicit user block size; only the DEFAULT shrinks
-            # to the half-solve's smaller k
-            r = rbl(
+        # each end is an LM problem of the correspondingly shifted
+        # operator — see rbl(which="LA"/"SA") and _be_split; an explicit
+        # user block size is honored, only the DEFAULT shrinks to the
+        # half-solve's smaller k
+        return _be_split(
+            A, k, cfg, return_eigenvectors,
+            lambda kk, end, cfg_be: rbl(
                 A, kk, b=b or _default_block(kk), cfg=cfg_be, which=end,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
-            )
-            parts.append(r)
-        w = np.concatenate(
-            [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+            ),
         )
-        order = np.argsort(w, kind="stable")
-        if not return_eigenvectors:
-            return w[order]
-        V = np.concatenate(
-            [np.asarray(r.eigenvectors) for r in parts], axis=1
-        )
-        return w[order], V[:, order]
 
     res = rbl(
         A, k, b=bsz, cfg=cfg, which=which,
@@ -255,13 +272,7 @@ def _eigsh_generalized(
     Returned eigenvectors are M-orthonormal, matching ARPACK."""
     from .solver.generalized import rbl_generalized
 
-    cfg = cfg or RBLConfig()
-    if tol and tol > 0:
-        cfg = cfg.replace(tol=float(tol))
-    if ncv is not None:
-        if ncv <= k:
-            raise ValueError(f"ncv={ncv} must exceed k={k}")
-        cfg = cfg.replace(max_kryl_dim=int(ncv))
+    cfg = _cfg_with_tol_ncv(cfg, tol, ncv, k)
 
     if sigma is not None:
         res = rbl_generalized(
@@ -276,34 +287,13 @@ def _eigsh_generalized(
         return w[order], np.asarray(res.eigenvectors)[:, order]
 
     if which == "BE":
-        n = getattr(A, "shape", (None,))[0]
-        if n is None:
-            n = getattr(A, "n", None)
-        if n is not None and not (0 < k <= n):
-            raise ValueError(f"k={k} out of range for n={n}")
-        k_hi, k_lo = (k + 1) // 2, k // 2
-        # see the standard-path BE split: independent half-solves must not
-        # share one mid-sweep checkpoint file
-        cfg_be = cfg.replace(sweep_checkpoint_path=None,
-                             fault_inject_abort_after_chunks=None)
-        parts = []
-        for kk, end in ((k_hi, "LA"), (k_lo, "SA")):
-            if kk == 0:
-                continue
-            parts.append(rbl_generalized(
+        return _be_split(
+            A, k, cfg, return_eigenvectors,
+            lambda kk, end, cfg_be: rbl_generalized(
                 A, M, kk, b=b or _default_block(kk), cfg=cfg_be, which=end,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
-            ))
-        w = np.concatenate(
-            [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+            ),
         )
-        order = np.argsort(w, kind="stable")
-        if not return_eigenvectors:
-            return w[order]
-        V = np.concatenate(
-            [np.asarray(r.eigenvectors) for r in parts], axis=1
-        )
-        return w[order], V[:, order]
 
     res = rbl_generalized(
         A, M, k, b=b or _default_block(k), cfg=cfg, which=which,

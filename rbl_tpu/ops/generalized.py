@@ -124,22 +124,33 @@ class ChebyshevSeriesOperator(LinearOperator):
     @classmethod
     def fit(cls, base: LinearOperator, fun, lo: float, hi: float,
             degree: Optional[int] = None, rel_tol: float = 1e-10,
-            max_degree: int = 1000):
+            max_degree: int = 1000, return_err: bool = False):
         """Fit f on [lo, hi]: at an explicit ``degree``, or to ``rel_tol``
-        max relative error with the smallest sufficient degree."""
+        max relative error with the smallest sufficient degree.  With
+        ``return_err=True`` also returns the MEASURED max relative fit
+        error on the probe grid (not the requested tolerance) — kept out
+        of the operator itself so it cannot enter jit cache keys."""
         if degree is not None:
             c = chebyshev_fit(fun, float(lo), float(hi), int(degree))
+            tg = np.linspace(float(lo), float(hi), 4001)
+            fg = np.asarray(fun(tg), dtype=np.float64)
+            xg = (2.0 * tg - hi - lo) / (hi - lo)
+            Tg = np.cos(np.outer(np.arange(len(c)), np.arccos(
+                np.clip(xg, -1.0, 1.0))))
+            err = float(np.max(np.abs(c @ Tg - fg)) / np.max(np.abs(fg)))
         else:
-            c, _ = fit_to_tolerance(fun, float(lo), float(hi),
-                                    rel_tol=rel_tol, max_degree=max_degree)
+            c, err = fit_to_tolerance(fun, float(lo), float(hi),
+                                      rel_tol=rel_tol,
+                                      max_degree=max_degree)
         dt = base.dtype
-        return cls(
+        op = cls(
             base=base,
             coeffs=jnp.asarray(c, dt),
             lo=jnp.asarray(lo, dt),
             hi=jnp.asarray(hi, dt),
             degree=len(c) - 1,
         )
+        return (op, err) if return_err else op
 
     @classmethod
     def inv_sqrt(cls, base: LinearOperator, lo: float, hi: float, **kw):

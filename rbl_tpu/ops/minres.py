@@ -245,6 +245,19 @@ class ShiftInvertOperator(LinearOperator):
         return Y.astype(X.dtype)
 
 
+def default_inner_tol(dtype, tol: float) -> float:
+    """Inner MINRES relative target for shift-invert transforms: well
+    below the outer tolerance (inner error perturbs OP invisibly to the
+    outer residual bounds), but floored at what the dtype's φ̄ recurrence
+    can honestly reach — 1e-13 for f64, 30·eps for sub-f64 compute
+    dtypes.  Below the floor the φ̄ estimate keeps 'converging' while the
+    TRUE residual stalls (measured at f32: 479 inner iterations to a
+    fictitious 7e-12 vs 225 to an honest 30·eps, same true residual)."""
+    fi = jnp.finfo(jnp.dtype(dtype))
+    floor = 1e-13 if fi.bits >= 64 else 30.0 * float(fi.eps)
+    return float(max(floor, min(1e-11, 1e-4 * tol)))
+
+
 def jacobi_psolve(d: jax.Array, clamp_quantile: float = 0.1
                   ) -> Callable[[jax.Array], jax.Array]:
     """SPD Jacobi preconditioner T = diag(max(|d|, floor))⁻¹ for a

@@ -441,6 +441,24 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
             (dat[live], (idx[live, 0], idx[live, 1])), shape=Ac.shape
         ).tocsr()
     if hasattr(A, "tocsr"):  # scipy.sparse
+        if (
+            format == "auto"
+            and A.shape[0] == A.shape[1]
+            and A.nnz <= A.shape[0]  # cheap screen: diagonal ⇒ nnz ≤ n
+        ):
+            # exactly-diagonal matrix → DiagonalOperator: cheaper applies
+            # than any sparse layout AND the exact fast paths keyed on it
+            # (rbl_generalized's degree-0 M^{±1/2}, reference test
+            # matrices are sparse(Diagonal(...)) — test.jl:17-50)
+            import scipy.sparse as _sp
+
+            coo = _sp.coo_matrix(A)
+            if coo.nnz == 0 or bool(np.all(coo.row == coo.col)):
+                d = np.zeros(A.shape[0], dtype=coo.data.dtype)
+                np.add.at(d, coo.row, coo.data)
+                return DiagonalOperator(
+                    jnp.asarray(d, dtype=dtype or d.dtype)
+                )
         fmt = format if format != "auto" else _pick_sparse_format(A, dtype)
         if fmt == "dia":
             from .dia import DiaOperator

@@ -109,9 +109,13 @@ def _presweep_cutoff(op, k: int, pad: int, cfg: RBLConfig, hi: float):
     mpre = min(cfg.max_kryl_dim, max(2 * kpre, kpre + 4 * b))
     mpre = max(mpre, kpre + b)
     # unreachable tol: the pre-sweep must run to its small cap so the
-    # estimates are as tight as mpre allows
+    # estimates are as tight as mpre allows.  Mid-sweep checkpoint knobs
+    # are stripped: an SLQ pre-sweep checkpoint resumed by the MAIN
+    # filtered solve would splice an unfiltered-operator basis into the
+    # filtered sweep (T ≠ QᵀfopQ — observed burning a filter retry)
     cfg_pre = cfg.replace(
-        max_kryl_dim=mpre, tol=float(np.finfo(np.float64).tiny)
+        max_kryl_dim=mpre, tol=float(np.finfo(np.float64).tiny),
+        sweep_checkpoint_path=None, fault_inject_abort_after_chunks=None,
     )
     sharding = _row_sharding(cfg_pre)
     key = jax.random.PRNGKey(cfg.seed + 2)
@@ -189,6 +193,12 @@ def rbl_filtered(
     cfg = cfg or RBLConfig()
     if b is not None:
         cfg = cfg.replace(block_size=b)
+    if cfg.sweep_checkpoint_path is not None:
+        # every internal sweep here runs against a DIFFERENT operator (SLQ
+        # pre-sweep on A, then one filtered operator per retry degree) —
+        # a shared mid-sweep checkpoint file would resume the wrong sweep
+        cfg = cfg.replace(sweep_checkpoint_path=None,
+                          fault_inject_abort_after_chunks=None)
     b = cfg.block_size
     which = which.upper()
     if which not in ("LA", "SA"):

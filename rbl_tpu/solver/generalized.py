@@ -70,7 +70,7 @@ def _certify_m_bounds(opB: LinearOperator, cfg: RBLConfig, label: str = "M"
         raise ValueError(f"{label} appears to be zero or non-finite")
     cfg_m = cfg.replace(
         block_size=4,
-        max_kryl_dim=min(cfg.max_kryl_dim, max(96, 8 * 4)),
+        max_kryl_dim=min(cfg.max_kryl_dim, 96),
         tol=1e-6 * nbM,
         # internal probe solves must not share the caller's mid-sweep
         # checkpoint file (they would resume each other's state)
@@ -136,6 +136,7 @@ def rbl_generalized(
     which: str = "LA",
     sigma: Optional[float] = None,
     mode: str = "normal",
+    inner_tol: Optional[float] = None,
     m_bounds: Optional[Tuple[Optional[float], Optional[float]]] = None,
     degree: Optional[int] = None,
     approx_tol: Optional[float] = None,
@@ -171,6 +172,9 @@ def rbl_generalized(
         (κ ~ n²) will exhaust ``max_degree`` and its λ_min is hard to
         certify — rescale/precondition K, or pass explicit ``m_bounds``
         and ``degree`` (consistent-MASS pencils, κ(M) = O(1), are cheap).
+    inner_tol: relative residual target of the blocked-MINRES inner
+        solves under ``sigma`` (default: ``default_inner_tol`` — 1e-4·tol
+        floored at the compute dtype's honest MINRES floor).
     m_bounds: optional (λ_min(M), λ_max(M)) overrides (either entry may be
         None).  When absent, both ends are certified by short extreme-end
         solves on M widened by their residual bounds.  λ_min must be
@@ -261,20 +265,17 @@ def rbl_generalized(
                 lo = clo if lo is None else lo
                 hi = chi if hi is None else hi
             lo, hi = float(lo), float(hi)
+            # aerr: the MEASURED fit error in both paths (the target
+            # approx_tol enters the residual floor below, not this field)
             if degree is not None:
-                P = ChebyshevSeriesOperator.inv_sqrt(
-                    opB, lo, hi, degree=int(degree)
-                )
-                # report the explicit degree's actual fit error
-                tg = np.linspace(lo, hi, 4001)
-                aerr = float(
-                    np.max(np.abs(P.scalar(tg) * np.sqrt(tg) - 1.0))
+                P, aerr = ChebyshevSeriesOperator.inv_sqrt(
+                    opB, lo, hi, degree=int(degree), return_err=True
                 )
             else:
-                P = ChebyshevSeriesOperator.inv_sqrt(
-                    opB, lo, hi, rel_tol=approx_tol, max_degree=max_degree
+                P, aerr = ChebyshevSeriesOperator.inv_sqrt(
+                    opB, lo, hi, rel_tol=approx_tol,
+                    max_degree=max_degree, return_err=True,
                 )
-                aerr = approx_tol
             deg = P.degree
             if sigma is not None:
                 # √t is smooth on [lo, hi] (no nearby singularity), so this
@@ -306,11 +307,15 @@ def rbl_generalized(
             # normal (mode 3): B = M;  buckling (mode 4): B = A;
             # cayley (mode 5): I + 2σ·W_normal (same eigenvectors as W).
             # Inner-solve error perturbs W invisibly to the outer residual
-            # bounds; target it well below the outer tol (f64 MINRES floor)
-            inner_tol = max(1e-13, min(1e-11, 1e-4 * cfg.tol))
+            # bounds; target it well below the outer tol, floored at what
+            # THIS compute dtype's MINRES can honestly reach
+            from ..ops.minres import default_inner_tol
+
+            it = inner_tol if inner_tol is not None \
+                else default_inner_tol(cdt, cfg.tol)
             W: LinearOperator = GeneralizedShiftInvertOperator(
                 A=opA, M=opM, msqrt=Psqrt,
-                sigma=jnp.asarray(float(sigma), cdt), inner_tol=inner_tol,
+                sigma=jnp.asarray(float(sigma), cdt), inner_tol=float(it),
             )
             if mode == "cayley":
                 from ..ops.spmm.operator import AffineOperator

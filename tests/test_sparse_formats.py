@@ -235,3 +235,26 @@ def test_auto_routing_uses_matrix_dtype_when_unspecified():
     # only check the probe doesn't crash and routes consistently for both
     # explicit and inherited dtype
     assert _pick_sparse_format(A, None) == _pick_sparse_format(A, np.float32)
+
+
+def test_as_operator_routes_pure_diagonal_to_diagonal_operator():
+    """An exactly-diagonal scipy matrix must become a DiagonalOperator —
+    cheaper applies than any sparse layout, and rbl_generalized's exact
+    degree-0 M^{±1/2} fast path keys on it (the reference's test matrices
+    are sparse(Diagonal(...)), test.jl:17-50)."""
+    d = np.linspace(0.5, 9.0, 300)
+    for mat in (sp.diags(d).tocsr(), sp.diags(d).tocoo(), sp.diags(d)):
+        op = rt.as_operator(mat)
+        assert isinstance(op, rt.DiagonalOperator), type(mat)
+        np.testing.assert_allclose(np.asarray(op.diag), d)
+    # duplicate COO entries on the diagonal must sum, matching scipy
+    A = sp.coo_matrix(([1.0, 2.0, 5.0], ([0, 0, 2], [0, 0, 2])),
+                      shape=(3, 3))
+    op = rt.as_operator(A)
+    assert isinstance(op, rt.DiagonalOperator)
+    np.testing.assert_allclose(np.asarray(op.diag), [3.0, 0.0, 5.0])
+    # a forced format is honored even for a diagonal matrix
+    from rbl_tpu.ops.spmm.dia import DiaOperator
+
+    assert isinstance(rt.as_operator(sp.diags(d), format="dia"),
+                      DiaOperator)

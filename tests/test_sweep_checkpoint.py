@@ -66,6 +66,29 @@ class TestSweepCheckpoint:
         # and the resumed sweep really continued past the saved iteration
         assert res.iterations >= saved_i
 
+    def test_abort_resume_with_default_speculation(self, tmp_path):
+        # DEFAULT chunk growth + deep pipeline (unlike BASE, which pins
+        # them off): the checkpoint must capture the PROCESSED chunk's
+        # recurrence triple while `dev` already holds speculated later
+        # state, and growth pacing (n_chunks) must survive the resume
+        n, k = 300, 5
+        A = _slow_diag(n)
+        kw = dict(block_size=5, eig_poll_cadence=4, max_kryl_dim=280,
+                  tol=1e-9)
+        ref = rt.rbl(A, k, cfg=RBLConfig(**kw))
+        ck = str(tmp_path / "sweep_spec.npz")
+        cfg = RBLConfig(**kw, sweep_checkpoint_path=ck,
+                        fault_inject_abort_after_chunks=2)
+        with pytest.raises(rt.SweepAborted):
+            rt.rbl(A, k, cfg=cfg)
+        assert os.path.exists(ck)
+        res = rt.rbl(A, k, cfg=cfg.replace(
+            fault_inject_abort_after_chunks=None))
+        assert res.converged
+        np.testing.assert_allclose(res.eigenvalues, ref.eigenvalues,
+                                   rtol=1e-10)
+        assert not os.path.exists(ck)
+
     def test_resume_with_host_offload_tier(self, tmp_path):
         # small device cap → the snapshot spans pinned-host panels + device
         n, k = 300, 5

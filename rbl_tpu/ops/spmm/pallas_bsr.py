@@ -62,7 +62,7 @@ def _make_bsr_kernel(unroll: int):
         for u in range(unroll):
             acc_ref[:] += jnp.dot(
                 vals_ref[u], x_refs[u][:],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_ref.dtype,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
@@ -119,7 +119,12 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
             *[x_spec(u) for u in range(U)],
         ],
         out_specs=pl.BlockSpec((bm, b), lambda i, j, cols: (i, i * 0)),
-        scratch_shapes=[pltpu.VMEM((bm, b), jnp.float32)],
+        # f32 accumulation except for f64 inputs (interpret/CPU test mode —
+        # the TPU MXU has no f64 and never sees this dtype)
+        scratch_shapes=[pltpu.VMEM(
+            (bm, b),
+            jnp.float64 if X.dtype == jnp.float64 else jnp.float32,
+        )],
     )
     return pl.pallas_call(
         _make_bsr_kernel(U),

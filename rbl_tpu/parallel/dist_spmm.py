@@ -8,9 +8,16 @@ operator needs only the neighbor devices' boundary rows, moved with
 parallelism — SURVEY §2c).  Non-circular permutes deliver zeros at the mesh
 edges, which is exactly the Dirichlet boundary.
 
-For general sparse matrices the fallback is an all-gather of the block
-(``AllGatherSpMM``), which XLA overlaps with local compute where possible;
-the Pallas BSR kernel path composes with the same shard_map wrapper.
+For general sparse matrices there are two tiers:
+
+- ``ShardedBlockSparseOperator`` — the flagship path: block rows banded over
+  the mesh, the Pallas BSR kernel applied per device, and a *boundary-only*
+  ghost-block exchange (one ``ppermute`` per mesh shift that actually
+  carries coupling, with per-shift slabs precomputed host-side from the
+  static block-column lists).  Comm volume ∝ boundary nnz, not n.
+- ``ShardedEllSpMM`` / ``ShardedCooSpMM`` — all-gather the full (n, b)
+  block before the local multiply: the dense-coupling fallback when the
+  sparsity has no exploitable locality.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.spmm.operator import LinearOperator, register_operator, static_field
+from ..ops.spmm.pallas_bsr import _blocked_ell_from_scipy, bsr_spmm
 
 
 @register_operator
@@ -162,6 +170,219 @@ class ShardedEllSpMM(LinearOperator):
         return jnp.sum(
             jnp.where(self.cols == r[None, :], self.vals, 0.0), axis=0
         )
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ShardedBlockSparseOperator(LinearOperator):
+    """Row-banded blocked-ELL operator applied with the Pallas BSR SpMM
+    kernel on each device, with BOUNDARY-ONLY ghost-block exchange — the
+    distributed form of the flagship kernel (reference hot path:
+    CuSPARSE ``mul!`` in RBL_gpu.jl:152,176; SURVEY §2b row 1's
+    "row-partitioned across devices with halo exchange").
+
+    Everything data-dependent is resolved host-side at construction, where
+    the block-column lists are plain numpy:
+
+    - Device d owns block rows [d·nb_local, (d+1)·nb_local) — its slice of
+      ``block_vals`` — and the matching band of X's column blocks.
+    - Its ``block_cols`` are REMAPPED to local-extended ids: own column
+      blocks first (0..ncb_local-1), then ghost slots in receive order.
+    - For each mesh shift s that carries coupling anywhere, each device
+      holds a static send list (its own column blocks that the device s
+      hops ahead references), padded to the max count over devices
+      (``caps[s-1]``) so one circular ``ppermute`` per shift moves
+      uniform (cap, bk, b) slabs over ICI.  Zero-cap shifts are skipped at
+      trace time, so a banded matrix pays exactly its two neighbor
+      permutes and comm volume stays ∝ boundary blocks, not n.
+
+    apply() then concatenates [own blocks, ghosts] and runs the unchanged
+    single-device Pallas kernel on the local band.
+    """
+
+    block_cols: jax.Array  # (ndev*nb_local*L,) int32 LOCAL-EXTENDED ids
+    block_vals: jax.Array  # (ndev*nb_local*L, bm, bk), banded over devices
+    send_idx: jax.Array    # (ndev, max(Σcaps, 1)) int32 local col-block ids
+    _n: int = static_field(default=0)
+    L: int = static_field(default=1)
+    bm: int = static_field(default=128)
+    bk: int = static_field(default=128)
+    unroll: int = static_field(default=1)
+    caps: tuple = static_field(default=())
+    interpret: bool = static_field(default=False)
+    mesh: Mesh = static_field(default=None)
+    axis: str = static_field(default="rows")
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self.block_vals.dtype
+
+    @classmethod
+    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=jnp.float32,
+                   bm: int = 128, bk: int = 128,
+                   interpret: bool | None = None):
+        import numpy as np
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if bm != bk:
+            raise ValueError("sharded BSR needs square tiles (bm == bk): "
+                             "X's column-block grid must band like A's rows")
+        ndev = mesh.shape[axis]
+        n = A.shape[0]
+        if n % (ndev * bk):
+            raise ValueError(
+                f"n={n} must be divisible by mesh_size*bk={ndev * bk} so "
+                f"row bands align with the column-block grid"
+            )
+        block_cols, block_vals, nb, ncb, L = _blocked_ell_from_scipy(
+            A, bm, bk, dtype
+        )
+        unroll = 2 if L >= 4 else 1
+        if L % unroll:
+            pad = unroll - L % unroll
+            block_cols = np.pad(block_cols, ((0, 0), (0, pad)))
+            block_vals = np.pad(
+                block_vals, ((0, 0), (0, pad), (0, 0), (0, 0))
+            )
+            L += pad
+        nb_local = nb // ndev
+        ncb_local = ncb // ndev
+        # a slot is padding iff its value tile is all-zero (explicit stored
+        # zeros contribute nothing either way, so repointing them is safe)
+        occ = block_vals.reshape(nb, L, -1).any(axis=2)
+
+        # receive lists per (shift, device): blocks device d needs from the
+        # device s hops behind it ((d-s) % ndev owns them)
+        recv = [[None] * ndev for _ in range(max(ndev - 1, 0))]
+        for d in range(ndev):
+            sl = slice(d * nb_local, (d + 1) * nb_local)
+            lo = d * ncb_local
+            cols_d, occ_d = block_cols[sl], occ[sl]
+            cols_d[~occ_d] = lo  # padding slots point at own first block
+            need = np.unique(cols_d[occ_d])
+            remote = need[(need < lo) | (need >= lo + ncb_local)]
+            owner = remote // ncb_local
+            for s in range(1, ndev):
+                recv[s - 1][d] = remote[owner == (d - s) % ndev]
+        caps = tuple(
+            int(max(len(recv[s][d]) for d in range(ndev)))
+            for s in range(max(ndev - 1, 0))
+        )
+        seg_off = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+        total_cap = int(sum(caps))
+
+        # remap each band's block_cols to local-extended ids and build the
+        # per-device send lists (what the device s hops ahead will need)
+        cols_out = np.zeros((ndev, nb_local, L), np.int32)
+        send_idx = np.zeros((ndev, max(total_cap, 1)), np.int32)
+        for d in range(ndev):
+            lo = d * ncb_local
+            remap = {}
+            for s in range(1, ndev):
+                if caps[s - 1] == 0:
+                    continue
+                base = ncb_local + seg_off[s - 1]
+                for j, c in enumerate(recv[s - 1][d]):
+                    remap[int(c)] = base + j
+                dst = (d + s) % ndev
+                lst = recv[s - 1][dst]  # owned by d by construction
+                send_idx[d, seg_off[s - 1] : seg_off[s - 1] + len(lst)] = (
+                    lst - lo
+                )
+            flat = block_cols[d * nb_local : (d + 1) * nb_local].ravel()
+            out = np.empty_like(flat, dtype=np.int32)
+            own = (flat >= lo) & (flat < lo + ncb_local)
+            out[own] = flat[own] - lo
+            out[~own] = [remap[int(c)] for c in flat[~own]]
+            cols_out[d] = out.reshape(nb_local, L)
+
+        sh_flat = NamedSharding(mesh, P(axis))
+        return cls(
+            block_cols=jax.device_put(
+                jnp.asarray(cols_out.reshape(nb * L)), sh_flat
+            ),
+            block_vals=jax.device_put(
+                block_vals.reshape(nb * L, bm, bk),
+                NamedSharding(mesh, P(axis, None, None)),
+            ),
+            send_idx=jax.device_put(
+                jnp.asarray(send_idx), NamedSharding(mesh, P(axis, None))
+            ),
+            _n=n, L=L, bm=bm, bk=bk, unroll=unroll, caps=caps,
+            interpret=interpret, mesh=mesh, axis=axis,
+        )
+
+    def apply(self, X):
+        ndev = self.mesh.shape[self.axis]
+        nb_local = (self.block_cols.shape[0] // self.L) // ndev
+        ncb_local = nb_local  # square tiles, aligned bands
+        b = X.shape[1]
+        caps, L, bm, bk = self.caps, self.L, self.bm, self.bk
+
+        def local_apply(cols_l, vals_l, send_l, x_local):
+            xb = x_local.reshape(ncb_local, bk, b)
+            ghosts = []
+            for s, cap in enumerate(caps, start=1):
+                if cap == 0:
+                    continue
+                off = sum(caps[: s - 1])
+                slab = jnp.take(xb, send_l[0, off : off + cap], axis=0)
+                perm = [(i, (i + s) % ndev) for i in range(ndev)]
+                ghosts.append(jax.lax.ppermute(slab, self.axis, perm=perm))
+            x_ext = (
+                x_local if not ghosts
+                else jnp.concatenate([xb, *ghosts], axis=0).reshape(-1, b)
+            )
+            return bsr_spmm(
+                cols_l, vals_l, x_ext.astype(self.dtype),
+                bm=bm, bk=bk, L=L, unroll=self.unroll,
+                interpret=self.interpret, out_dtype=x_local.dtype,
+            )
+
+        return jax.shard_map(
+            local_apply,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis, None, None),
+                P(self.axis, None), P(self.axis, None),
+            ),
+            out_specs=P(self.axis, None),
+            # pallas_call's out_shape carries no varying-mesh-axes info, so
+            # the vma checker cannot type it — the specs above are the truth
+            check_vma=False,
+        )(self.block_cols, self.block_vals, self.send_idx, X)
+
+    def diagonal(self):
+        # the diag tile of local block-row i is local column block i (bands
+        # align), so the single-device mask works with a LOCAL arange;
+        # padding slots carry zero values and cannot pollute row 0
+        ndev = self.mesh.shape[self.axis]
+        nb_local = (self.block_cols.shape[0] // self.L) // ndev
+        L, bm, bk = self.L, self.bm, self.bk
+
+        def local_diag(cols_l, vals_l):
+            cols = cols_l.reshape(nb_local, L)
+            vals = vals_l.reshape(nb_local, L, bm, bk)
+            tile_diag = jnp.diagonal(vals, axis1=2, axis2=3)  # (nbl, L, bm)
+            mask = cols == jnp.arange(nb_local, dtype=cols.dtype)[:, None]
+            return jnp.sum(tile_diag * mask[:, :, None], axis=1).reshape(-1)
+
+        return jax.shard_map(
+            local_diag,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis, None, None)),
+            out_specs=P(self.axis),
+        )(self.block_cols, self.block_vals)
+
+    def comm_blocks_per_apply(self) -> int:
+        """Ghost (bk, b)-slabs each device moves per apply — the boundary
+        comm-volume metric (an all-gather would move ncb − ncb_local)."""
+        return int(sum(self.caps))
 
 
 def _banded_coo_shards(A, ndev, dtype, mesh, axis):

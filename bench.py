@@ -44,6 +44,12 @@ def run(timed: bool, seed: int = 0):
         # only; the recorded headline stays at the validated default
         adaptive_reorth_max=int(os.environ.get("RBL_BENCH_ADAPTIVE", "1")),
     )
+    # A/B hook: RBL_BENCH_PRECISION=high|default|highest pins the f32
+    # matmul precision for the same-epoch triplet that separates the
+    # "highest"-strictness cost from tunnel drift (VERDICT r1 weak #1)
+    prec = os.environ.get("RBL_BENCH_PRECISION")
+    if prec:
+        cfg = cfg.replace(matmul_precision=prec)
     # A/B hook: RBL_BENCH_FILTERED=1 (or =<degree>) runs the
     # Chebyshev-filtered solver (solver/filtered.py) instead — measurement
     # only; the recorded headline stays on the default path.  The PSD

@@ -43,7 +43,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--image", default=None)
     p.add_argument("--rank", type=int, default=50)
-    p.add_argument("--out", default=None, help="save reconstruction .npy")
+    p.add_argument("--out", default=None,
+                   help="directory: write original + the three rank-k "
+                        "reconstruction PNGs (images.jl:44-55 plots them; "
+                        "a .npy path saves the RBL reconstruction array "
+                        "instead)")
     p.add_argument("--f32", action="store_true",
                    help="f32 compute (fast on the MXU, but this Gram "
                         "matrix squares the dominance: σ₁²/σ_sea² ≈ 1e5 "
@@ -98,8 +102,30 @@ def main():
     print(f"top σ: RBL {sigma[:3]}, svds {np.sort(S2)[::-1][:3]}, svd {Sf[:3]}")
 
     if args.out:
-        np.save(args.out, B_rbl)
-        print(f"saved reconstruction to {args.out}")
+        if args.out.endswith(".npy"):
+            np.save(args.out, B_rbl)
+            print(f"saved reconstruction to {args.out}")
+        else:
+            # image-output parity with the reference demo (images.jl:44-55
+            # plots the reconstructions side by side; here each one is a
+            # PNG): original + RBL + svds + exact-SVD rank-k images
+            from PIL import Image
+
+            os.makedirs(args.out, exist_ok=True)
+
+            def save(name, arr):
+                g = np.clip(arr, 0.0, 1.0)
+                path = os.path.join(args.out, f"{name}.png")
+                Image.fromarray((g * 255).astype(np.uint8), "L").save(path)
+                return path
+
+            paths = [
+                save("original", B),
+                save(f"rbl_rank{k}", B_rbl),
+                save(f"svds_rank{k}", B_svds),
+                save(f"svd_rank{k}", B_svd),
+            ]
+            print("wrote " + ", ".join(paths))
 
 
 if __name__ == "__main__":

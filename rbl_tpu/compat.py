@@ -14,9 +14,12 @@ Differences from ARPACK, stated rather than hidden:
 - The algorithm is *randomized block* Lanczos: ``v0`` seeds only the first
   column of the n×b sampling block Ω (the rest stay PRNG-drawn from
   ``cfg.seed``), and ``ncv`` maps onto the Krylov-dimension cap.
-- ``maxiter`` (ARPACK's implicit-restart count) has no analogue in the
-  non-restarted sweep and is ignored; use ``rbl_restarted`` for an
-  explicitly restarted solve.
+- ``maxiter`` (ARPACK's implicit-restart count) routes the solve through
+  the explicitly restarted solver (``rbl_restarted``) with
+  ``max_restarts = maxiter`` and per-cycle sweep length ``ncv``;
+  non-convergence raises scipy's own ``ArpackNoConvergence`` carrying the
+  partial results.  On the shift-invert paths (``sigma``/``which="SM"``)
+  ``maxiter`` is ignored — the inner MINRES has its own iteration cap.
 - ``tol`` is the Ritz-pair residual-bound tolerance ‖A·x − θx‖ (the
   reference's absolute semantics, RBL.jl:109); scipy's ``tol=0``
   ("machine precision") maps to the solver default 1e-7 — the exact
@@ -203,6 +206,44 @@ def eigsh(
     cfg = _cfg_with_tol_ncv(cfg, tol, ncv, k)
     bsz = b or _default_block(k)
 
+    if maxiter is not None and sigma is None:
+        # ARPACK's maxiter bounds the number of implicit restarts; the
+        # faithful analogue here is the explicitly restarted solver with
+        # max_restarts = maxiter (restart sweep length = ncv, ARPACK's
+        # Lanczos-vector count per cycle).  Non-convergence raises scipy's
+        # own ArpackNoConvergence carrying the partial results, exactly as
+        # scipy documents.
+        from .solver.restarted import rbl_restarted
+
+        if ncv is not None:
+            cfg = cfg.replace(restart_kryl_dim=int(ncv))
+        if which == "BE":
+            return _be_split(
+                A, k, cfg, return_eigenvectors,
+                lambda kk, end, cfg_be: rbl_restarted(
+                    A, kk, cfg=cfg_be, b=b or _default_block(kk),
+                    max_restarts=int(maxiter), which=end, v0=v0,
+                ),
+            )
+        res = rbl_restarted(
+            A, k, cfg=cfg, b=bsz, max_restarts=int(maxiter),
+            which=which, v0=v0,
+        )
+        w = np.asarray(res.eigenvalues, dtype=np.float64)
+        V = np.asarray(res.eigenvectors) if res.eigenvectors is not None \
+            else np.zeros((_operand_n(A) or 0, 0))
+        if not res.converged:
+            from scipy.sparse.linalg import ArpackNoConvergence
+
+            raise ArpackNoConvergence(
+                f"No convergence within {maxiter} restarts "
+                f"({len(w)}/{k} eigenpairs locked)", w, V,
+            )
+        order = _scipy_eig_order(w, user_which, return_eigenvectors)
+        if not return_eigenvectors:
+            return w[order]
+        return w[order], V[:, order]
+
     if sigma is not None:
         from .ops.minres import ShiftInvertOperator, default_inner_tol
         from .ops.spmm.operator import as_operator
@@ -325,15 +366,17 @@ def svds(
 
     Returns ``(u, s, vh)`` with ``s`` ASCENDING (scipy's convention; note
     ``rbl_svd`` itself returns descending) — or just ``s`` when
-    ``return_singular_vectors=False``.  Only ``which="LM"`` is meaningful
-    for a truncated SVD and it is the only mode supported.
+    ``return_singular_vectors=False``.  ``which="LM"`` (largest, the
+    truncated-SVD default) and ``which="SM"`` (smallest, via σ = 0
+    blocked-MINRES shift-invert on the Gram operator — requires B full
+    rank, same as scipy's LOBPCG/ARPACK paths) are supported.
     """
     from .solver.svd import rbl_svd
 
-    if which.upper() != "LM":
+    which = which.upper()
+    if which not in ("LM", "SM"):
         raise NotImplementedError(
-            f"which={which!r} not supported — truncated SVD targets the "
-            "largest singular values (LM)"
+            f"which={which!r} not supported (LM/SM are)"
         )
     cfg = cfg or RBLConfig()
     if tol and tol > 0:
@@ -353,7 +396,8 @@ def svds(
             seed = int(random_state)
         cfg = cfg.replace(seed=seed)
 
-    res = rbl_svd(A, k, b=b or _default_block(k), cfg=cfg, v0=v0)
+    res = rbl_svd(A, k, b=b or _default_block(k), cfg=cfg, v0=v0,
+                  which=which)
     order = np.argsort(res.s, kind="stable")  # ascending, scipy-style
     s = np.asarray(res.s)[order]
     if not return_singular_vectors:

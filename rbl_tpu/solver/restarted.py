@@ -111,9 +111,18 @@ def rbl_restarted(
     timer=None,
     checkpoint_path: Optional[str] = None,
     state: Optional[RestartState] = None,
+    which: str = "LM",
+    v0: Optional[Any] = None,
 ) -> LanczosResult:
     """Restarted + deflated RBL — reference `RBL_gpu_restarted(A, k)`
     (restarted.jl:97-146) with block size b (reference fixes b=1).
+
+    ``which`` selects the spectrum end exactly as ``rbl`` does (the
+    reference is LM-only): LA/SA run the sweep on the spectrally shifted
+    operator A ± sI and map the locked values back.  Checkpointed
+    ``RestartState.locked_values`` live in the SHIFTED (θ) space; resuming
+    must pass the same ``which``.  ``v0`` seeds the first column of the
+    initial sampling block (scipy convention).
 
     Pass ``checkpoint_path`` to persist the restart state each sweep, and/or
     ``state`` (e.g. from utils.checkpoint.load_restart_state) to resume."""
@@ -123,15 +132,31 @@ def rbl_restarted(
     n = op.n
     if not (0 < k <= n):
         raise ValueError(f"k={k} out of range for n={n}")
+    which = which.upper()
+    if which not in ("LM", "LA", "SA"):
+        raise ValueError(f"which={which!r} not in ('LM', 'LA', 'SA')")
 
     with jax.default_matmul_precision(cfg.matmul_precision):
-        return _rbl_restarted_impl(
-            op, k, cfg, b, max_restarts, timer, checkpoint_path, state
+        shift = 0.0
+        if which != "LM":
+            from ..ops.eig import spectral_norm_bound
+            from ..ops.spmm.operator import AffineOperator
+
+            shift = spectral_norm_bound(op, jax.random.PRNGKey(cfg.seed + 1))
+            op = AffineOperator.shift(op, 1.0 if which == "LA" else -1.0,
+                                      shift)
+        res = _rbl_restarted_impl(
+            op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0
         )
+        if which == "LA":
+            res.eigenvalues = res.eigenvalues - shift
+        elif which == "SA":
+            res.eigenvalues = shift - res.eigenvalues
+        return res
 
 
 def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
-                        checkpoint_path, state):
+                        checkpoint_path, state, v0=None):
     n = op.n
     from .rbl import _row_sharding
 
@@ -140,7 +165,7 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
 
     if state is None:
         key = jax.random.PRNGKey(cfg.seed)
-        Qi = random_start_block(op, key, b, cfg, sharding=sharding)
+        Qi = random_start_block(op, key, b, cfg, sharding=sharding, v0=v0)
         lock_buf = jnp.zeros((n, lock_cols), dtype=cfg.basis_dtype)
         if sharding is not None:
             lock_buf = jax.device_put(lock_buf, sharding)

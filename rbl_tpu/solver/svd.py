@@ -68,6 +68,26 @@ def _cross_recover_sparse(Bop, W, sigma, floor):
     return jnp.where(sigma[None, :] > floor, X / safe[None, :], 0.0)
 
 
+def _solve_gram(op, k, b, cfg, timer, v0, which):
+    """Run the block Lanczos on the Gram-side operator: LM directly, SM
+    through the σ = 0 blocked-MINRES shift-invert transform (the Gram is
+    SPD, so the inner MINRES is a definite solve; B rank-deficient ⇒ the
+    Gram is singular at σ = 0 and the inner solve stalls — same failure
+    mode as ARPACK shift-invert on a singular pencil)."""
+    from .rbl import rbl
+
+    if which == "SM":
+        from ..ops.minres import ShiftInvertOperator, default_inner_tol
+
+        si = ShiftInvertOperator.shift(
+            op, 0.0, inner_tol=default_inner_tol(op.dtype, cfg.tol)
+        )
+        return rbl(si, k, b, cfg=cfg, compute_eigenvectors=True,
+                   timer=timer, v0=v0)
+    return rbl(op, k, b, cfg=cfg, compute_eigenvectors=True,
+               timer=timer, v0=v0)
+
+
 def rbl_svd(
     B: Any,
     k: int,
@@ -75,6 +95,7 @@ def rbl_svd(
     cfg: Optional[RBLConfig] = None,
     timer=None,
     v0: Optional[Any] = None,
+    which: str = "LM",
 ) -> SVDResult:
     """Top-k truncated SVD of a dense (m, n) factor B: B ≈ U·diag(s)·Vᵀ.
 
@@ -84,9 +105,19 @@ def rbl_svd(
 
     ``v0`` (scipy ``svds`` convention) seeds the first column of the
     sampling block on the Gram side: length ``min(m, n)``.
-    """
-    from .rbl import rbl
 
+    ``which="SM"`` returns the k SMALLEST singular triplets (scipy's
+    ``svds(which="SM")``) via σ = 0 shift-invert on the Gram operator —
+    blocked MINRES inside, never factoring B.  Singular values are
+    recovered as the cross-product column norms σ = ‖B·w‖ (exact for exact
+    singular vectors, first-order accurate in the Ritz error — more robust
+    than √λ followed by a division at the small end of the spectrum).
+    The normal-equations resolvability floor √(eps·dim)·σ₁ still applies:
+    smaller σ are reported as 0 (run f64 to push the floor down).
+    """
+    which = which.upper()
+    if which not in ("LM", "SM"):
+        raise ValueError(f"which={which!r} not in ('LM', 'SM')")
     cfg = cfg or RBLConfig()
     # A scipy-sparse factor stays sparse: the Gram operator chains two
     # rectangular COO SpMMs instead of densifying B (which at images-demo
@@ -127,7 +158,9 @@ def rbl_svd(
             except ValueError:
                 op = None
         if op is not None:
-            res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer, v0=v0)
+            res = _solve_gram(op, k, b, cfg, timer, v0, which)
+            if which == "SM":
+                return _assemble_svd_sm(res, cfg, m, n, left, op=op)
             return _assemble_svd(res, k, cfg, m, n, left, op=op)
     Bd = jnp.asarray(
         B.toarray() if hasattr(B, "toarray") else B, dtype=cfg.compute_dtype
@@ -148,8 +181,48 @@ def rbl_svd(
         spec = P(cfg.rows_axis, None) if left else P(None, cfg.rows_axis)
         Bd = jax.device_put(Bd, NamedSharding(cfg.mesh, spec))
     op = GramOperator(B=Bd, left=left)
-    res = rbl(op, k, b, cfg=cfg, compute_eigenvectors=True, timer=timer, v0=v0)
+    res = _solve_gram(op, k, b, cfg, timer, v0, which)
+    if which == "SM":
+        return _assemble_svd_sm(res, cfg, m, n, left, Bd=Bd)
     return _assemble_svd(res, k, cfg, m, n, left, Bd=Bd)
+
+
+def _assemble_svd_sm(res, cfg, m, n, left, op=None, Bd=None):
+    """SM-end assembly: σ from cross-product column norms ‖B·w‖ (never a
+    division by a tiny Ritz-derived σ), with the same normal-equations
+    floor as the LM path — σ₁ for the floor comes from a power-method
+    bound on the Gram operator since the solve only saw the small end."""
+    import jax as _jax
+
+    from ..ops.eig import spectral_norm_bound
+
+    W = res.eigenvectors  # (gram-side, k) orthonormal
+    if Bd is not None:
+        M = Bd.T if left else Bd
+        X = jnp.dot(M, W.astype(M.dtype), preferred_element_type=_pet(W.dtype))
+        gop = GramOperator(B=Bd, left=left)
+    else:
+        cross = op.Bt if left else op.Bf
+        X = cross.apply(W.astype(cross.dtype))
+        gop = op
+    X = np.asarray(X, dtype=np.float64)
+    s = np.linalg.norm(X, axis=0)
+    sigma1 = float(
+        np.sqrt(max(spectral_norm_bound(gop, _jax.random.PRNGKey(cfg.seed + 2)),
+                    0.0))
+    )
+    eps = float(np.finfo(np.dtype(cfg.compute_dtype)).eps)
+    floor = np.sqrt(eps * max(m, n)) * max(sigma1, np.finfo(np.float64).tiny)
+    keep = s > floor
+    X = np.where(keep[None, :], X / np.where(keep, s, 1.0)[None, :], 0.0)
+    s = np.where(keep, s, 0.0)
+    order = np.argsort(-s, kind="stable")  # SVDResult contract: descending
+    s = s[order]
+    X = jnp.asarray(X[:, order])
+    W = jnp.take(W, jnp.asarray(order), axis=1)
+    U, V = (W, X) if left else (X, W)
+    return SVDResult(U=U, s=s, V=V, iterations=res.iterations,
+                     kryl_dim=res.kryl_dim, converged=res.converged)
 
 
 def _assemble_svd(res, k, cfg, m, n, left, op=None, Bd=None):

@@ -137,9 +137,9 @@ class TestSvds:
         s_ref = sla.svds(B, k=3, return_singular_vectors=False)
         np.testing.assert_allclose(s, np.sort(s_ref), rtol=1e-7)
 
-    def test_which_sm_raises(self):
+    def test_which_unknown_raises(self):
         with pytest.raises(NotImplementedError):
-            rt.svds(np.eye(10), k=2, which="SM")
+            rt.svds(np.eye(10), k=2, which="LA")
 
     def test_random_state_generator_and_randomstate(self):
         # scipy accepts int | Generator | RandomState — all must work
@@ -174,3 +174,54 @@ def test_reference_gpu_entry_aliases():
     D2, V2 = rt.RBL_gpu_restarted(A, 3)
     np.testing.assert_allclose(np.sort(D2)[::-1], d[::-1][:3], rtol=1e-8)
     assert V2 is not None  # unlike the reference's V=zeros quirk
+
+
+class TestMaxiterRestarted:
+    """eigsh(maxiter=...) routes through the explicitly restarted solver
+    (ARPACK's implicit-restart budget ↦ max_restarts) — round-1 behavior
+    silently ignored it."""
+
+    def test_maxiter_converged_matches_dense(self):
+        A = _sym_sparse(160, seed=5)
+        w = rt.eigsh(A, k=4, maxiter=50, return_eigenvectors=False)
+        dense = np.linalg.eigvalsh(A.toarray())
+        ref = np.sort(dense[np.argsort(-np.abs(dense))[:4]])
+        # scipy order for LM without vectors: ascending |λ|
+        np.testing.assert_allclose(np.sort(w), np.sort(ref), rtol=1e-6)
+
+    def test_maxiter_with_vectors_and_which_sa(self):
+        A = _sym_sparse(120, seed=6)
+        w, V = rt.eigsh(A, k=3, which="SA", maxiter=60, b=2)
+        dense = np.linalg.eigvalsh(A.toarray())
+        np.testing.assert_allclose(w, dense[:3], rtol=1e-6)
+        R = A @ V - V * w[None, :]
+        assert np.linalg.norm(R, axis=0).max() < 1e-5 * np.abs(dense).max()
+
+    def test_maxiter_exhausted_raises_with_partial(self):
+        from scipy.sparse.linalg import ArpackNoConvergence
+
+        import scipy.sparse as sp
+
+        # near-uniform spectrum, one tiny sweep, one restart: cannot lock
+        # all 8 pairs
+        A = sp.diags(np.arange(1.0, 201.0))
+        with pytest.raises(ArpackNoConvergence) as ei:
+            rt.eigsh(A, k=8, maxiter=1, ncv=10, b=1)
+        # partial results ride on the exception, scipy-style
+        assert ei.value.eigenvalues.shape[0] <= 8
+
+
+def test_svds_which_sm_ascending():
+    """svds(which="SM"): smallest singular triplets, s ascending, scipy
+    conventions (round 1 raised NotImplementedError here)."""
+    rng = np.random.default_rng(21)
+    B = rng.standard_normal((70, 50)) + 5.0 * np.eye(70, 50)
+    u, s, vh = rt.svds(B, k=4, which="SM")
+    s_true = np.sort(np.linalg.svd(B, compute_uv=False))[:4]
+    np.testing.assert_allclose(s, s_true, rtol=1e-8)
+    assert np.all(np.diff(s) >= 0)
+    np.testing.assert_allclose(
+        B @ vh.T, u * s[None, :], atol=1e-7 * s_true[-1]
+    )
+    s_only = rt.svds(B, k=4, which="SM", return_singular_vectors=False)
+    np.testing.assert_allclose(np.sort(s_only), s_true, rtol=1e-8)

@@ -132,3 +132,34 @@ def test_svd_sparse_stays_sparse_and_recovers_factors():
         np.testing.assert_allclose(
             B @ V, U * res.s[None, :], atol=1e-8 * res.s[0]
         )
+
+
+def test_svd_smallest_which_sm():
+    """which="SM": smallest singular triplets via σ = 0 shift-invert on
+    the Gram operator (scipy's svds(which="SM") surface, which round 1
+    rejected)."""
+    B, s_true = _make_B(90, 60, seed=4)
+    k = 5
+    res = rt.rbl_svd(B, k, b=4, which="SM")
+    s_small = np.sort(s_true)[:k]            # ascending smallest
+    np.testing.assert_allclose(np.sort(res.s), s_small, rtol=1e-8)
+    U, s, V = np.asarray(res.U), res.s, np.asarray(res.V)
+    assert np.abs(U.T @ U - np.eye(k)).max() < 1e-8
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-8
+    r1 = np.linalg.norm(B @ V - U * s[None, :], axis=0)
+    r2 = np.linalg.norm(B.T @ U - V * s[None, :], axis=0)
+    assert max(r1.max(), r2.max()) < 1e-6 * s_true[0]
+
+
+def test_svd_sm_sparse_factor():
+    """SM path on a sparse factor keeps B sparse (SparseGramOperator +
+    Jacobi-preconditioned inner MINRES through its diagonal protocol)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(13)
+    # well-conditioned sparse factor: random sparse + identity tail
+    B = (sp.random(80, 80, density=0.1, random_state=rng)
+         + 3.0 * sp.eye(80)).tocsr()
+    res = rt.rbl_svd(B, 4, b=4, which="SM")
+    s_true = np.sort(np.linalg.svd(B.toarray(), compute_uv=False))[:4]
+    np.testing.assert_allclose(np.sort(res.s), s_true, rtol=1e-7)

@@ -15,16 +15,18 @@ For general sparse matrices there are two tiers:
   ghost-block exchange (one ``ppermute`` per mesh shift that actually
   carries coupling, with per-shift slabs precomputed host-side from the
   static block-column lists).  Comm volume ∝ boundary nnz, not n.
-- ``ShardedEllSpMM`` / ``ShardedCooSpMM`` — all-gather the full (n, b)
-  block before the local multiply: the dense-coupling fallback when the
-  sparsity has no exploitable locality.
+- ``ShardedEllSpMM`` / ``ShardedCooSpMM`` — general sparse at ROW
+  granularity: the same boundary-only exchange built from the column
+  index sets (``_row_ghost_plan``), auto-falling back to an all-gather
+  of the full (n, b) block only when the sparsity has no exploitable
+  locality (ghost volume ≥ half the all-gather's).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -97,15 +99,22 @@ class ShardedLaplacian2D(LinearOperator):
 @dataclasses.dataclass(frozen=True)
 class ShardedEllSpMM(LinearOperator):
     """General row-partitioned sparse SpMM: each device owns a row band of A
-    in ELL layout (cols/vals (L, n) sharded over rows, i.e. axis 1) and
-    all-gathers the (n, b) block over ICI before the local multiply — the
-    generic distributed path when the operator has no exploitable halo
-    structure.  Column indices are global, so the gathered full block is
-    indexed directly."""
+    in ELL layout (cols/vals (L, n) sharded over rows, i.e. axis 1).
 
-    cols: jax.Array  # (L, n) int32, global column ids; sharded on axis 1
+    Input-block movement is BOUNDARY-ONLY by default: the needed remote
+    rows are known host-side from the column indices, so apply moves one
+    padded (cap, b) slab per coupling-carrying mesh shift via circular
+    ``ppermute`` (``_row_ghost_plan``) — comm volume ∝ boundary rows, not
+    n.  When the sparsity has no locality (Σcaps ≥ half of what an
+    all-gather would move) construction falls back to the all-gather
+    apply, with global column ids (``caps is None``)."""
+
+    cols: jax.Array  # (L, n) int32; LOCAL-EXTENDED ids (ghost plan) or
+    #                  global ids (all-gather fallback); sharded on axis 1
     vals: jax.Array  # (L, n)
+    send_idx: jax.Array  # (ndev, max(Σcaps, 1)) int32 local row ids
     _n: int = static_field(default=0)
+    caps: Optional[tuple] = static_field(default=None)  # None → all-gather
     mesh: Mesh = static_field(default=None)
     axis: str = static_field(default="rows")
 
@@ -118,33 +127,66 @@ class ShardedEllSpMM(LinearOperator):
         return self.vals.dtype
 
     @classmethod
-    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
+    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None,
+                   exchange: str = "auto"):
+        import numpy as np
+
         from ..ops.spmm.ell import SparseEllOperator
 
+        if exchange not in ("auto", "ghost", "allgather"):
+            raise ValueError(f"exchange={exchange!r}")
         ndev = mesh.shape[axis]
-        if A.shape[0] % ndev:
+        n = A.shape[0]
+        if n % ndev:
             raise ValueError(
-                f"n={A.shape[0]} not divisible by mesh axis size {ndev}"
+                f"n={n} not divisible by mesh axis size {ndev}"
             )
         ell = SparseEllOperator.from_scipy(A, dtype=dtype)
+        cols = np.asarray(ell.cols)  # pad slots self-point → always local
+        ml = n // ndev
+        caps = None
+        send_idx = np.zeros((ndev, 1), np.int32)
+        if exchange != "allgather" and ndev > 1:
+            bands = [cols[:, d * ml : (d + 1) * ml] for d in range(ndev)]
+            remap, send_idx, caps_ = _row_ghost_plan(bands, ml, ndev)
+            # an all-gather moves (ndev−1)·ml rows per device; take the
+            # boundary path only when it moves materially less
+            if exchange == "ghost" or sum(caps_) < 0.5 * (ndev - 1) * ml:
+                caps = caps_
+                cols = np.concatenate(
+                    [remap[d](bands[d]) for d in range(ndev)], axis=1
+                )
         sh = NamedSharding(mesh, P(None, axis))
         return cls(
-            cols=jax.device_put(ell.cols, sh),
+            cols=jax.device_put(jnp.asarray(cols), sh),
             vals=jax.device_put(ell.vals, sh),
-            _n=ell._n, mesh=mesh, axis=axis,
+            send_idx=jax.device_put(
+                jnp.asarray(send_idx), NamedSharding(mesh, P(axis, None))
+            ),
+            _n=ell._n, caps=caps, mesh=mesh, axis=axis,
         )
 
     def apply(self, X):
         from ..ops.spmm.operator import _pet
 
-        def local_apply(cols_l, vals_l, x_local):
-            x_full = jax.lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+        ndev = self.mesh.shape[self.axis]
+        caps = self.caps
+
+        def local_apply(cols_l, vals_l, send_l, x_local):
+            if caps is None:
+                x_ext = jax.lax.all_gather(
+                    x_local, self.axis, axis=0, tiled=True
+                )
+            else:
+                x_ext = _ghost_exchange(
+                    x_local, send_l, caps, ndev, self.axis
+                )
             acc_dt = _pet(x_local.dtype)
 
             def body(acc, row):
                 c, v = row
                 return acc + (
-                    v[:, None] * jnp.take(x_full, c, axis=0)
+                    v[:, None] * jnp.take(x_ext, c, axis=0)
                 ).astype(acc_dt), None
 
             out, _ = jax.lax.scan(
@@ -159,17 +201,40 @@ class ShardedEllSpMM(LinearOperator):
         return jax.shard_map(
             local_apply,
             mesh=self.mesh,
-            in_specs=(P(None, self.axis), P(None, self.axis), P(self.axis, None)),
+            in_specs=(P(None, self.axis), P(None, self.axis),
+                      P(self.axis, None), P(self.axis, None)),
             out_specs=P(self.axis, None),
-        )(self.cols, self.vals, X)
+        )(self.cols, self.vals, self.send_idx, X)
 
     def diagonal(self):
         # (L, n) sharded on axis 1 → the (n,) result shards like X's rows;
-        # padding slots self-point with value 0 (SparseEllOperator layout)
-        r = jnp.arange(self._n, dtype=self.cols.dtype)
-        return jnp.sum(
-            jnp.where(self.cols == r[None, :], self.vals, 0.0), axis=0
-        )
+        # padding slots self-point with value 0 (SparseEllOperator layout).
+        # Ghost-plan cols are local-extended: the diagonal of local row r
+        # is local id r; all-gather cols are global.
+        ml = self._n // self.mesh.shape[self.axis]
+
+        def local_diag(cols_l, vals_l):
+            r = jnp.arange(cols_l.shape[1], dtype=cols_l.dtype)
+            if self.caps is None:
+                r = r + (jax.lax.axis_index(self.axis) * ml).astype(r.dtype)
+            return jnp.sum(
+                jnp.where(cols_l == r[None, :], vals_l, 0.0), axis=0
+            )
+
+        return jax.shard_map(
+            local_diag,
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(None, self.axis)),
+            out_specs=P(self.axis),
+        )(self.cols, self.vals)
+
+    def comm_rows_per_apply(self) -> int:
+        """Ghost rows each device moves per apply (an all-gather moves
+        n − n/ndev) — the boundary comm-volume metric."""
+        ndev = self.mesh.shape[self.axis]
+        if self.caps is None:
+            return self._n - self._n // ndev
+        return int(sum(self.caps))
 
 
 @register_operator
@@ -385,13 +450,103 @@ class ShardedBlockSparseOperator(LinearOperator):
         return int(sum(self.caps))
 
 
-def _banded_coo_shards(A, ndev, dtype, mesh, axis):
+def _row_ghost_plan(cols_by_dev, ml, ndev):
+    """Host-side boundary-exchange plan at ROW granularity (the
+    row-level twin of ShardedBlockSparseOperator's block plan; SURVEY
+    §2c halo-exchange design, replacing the all-gather the round-1
+    operators used).
+
+    ``cols_by_dev[d]`` is the (possibly duplicated) GLOBAL column-id
+    array referenced by device d's row band; every id is assumed
+    in-range and pad slots must already point at a LOCAL row.  Returns
+    ``(remap, send_idx, caps)``:
+
+    - ``remap[d]``: vectorized global→local-extended id map for band d
+      (own rows 0..ml-1 first, then ghost rows in receive order);
+    - ``send_idx``: (ndev, max(Σcaps, 1)) int32 — per device, the LOCAL
+      row ids the device s hops ahead needs, one padded segment per
+      shift (slot 0-padding sends row 0; receivers never index unasked
+      slots);
+    - ``caps``: per-shift slab heights, max over devices — zero-cap
+      shifts cost nothing at trace time, so comm volume stays ∝ the
+      boundary row count.
+    """
+    import numpy as np
+
+    recv = [[None] * ndev for _ in range(max(ndev - 1, 0))]
+    for d in range(ndev):
+        lo = d * ml
+        need = np.unique(np.asarray(cols_by_dev[d]))
+        remote = need[(need < lo) | (need >= lo + ml)]
+        owner = remote // ml
+        for s in range(1, ndev):
+            recv[s - 1][d] = remote[owner == (d - s) % ndev]
+    caps = tuple(
+        int(max(len(recv[s][d]) for d in range(ndev)))
+        for s in range(max(ndev - 1, 0))
+    )
+    seg_off = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+    total_cap = int(sum(caps))
+    send_idx = np.zeros((ndev, max(total_cap, 1)), np.int32)
+    lookup = []
+    for d in range(ndev):
+        lo = d * ml
+        remap_d = {}
+        for s in range(1, ndev):
+            if caps[s - 1] == 0:
+                continue
+            base = ml + seg_off[s - 1]
+            for j, c in enumerate(recv[s - 1][d]):
+                remap_d[int(c)] = base + j
+            dst = (d + s) % ndev
+            lst = recv[s - 1][dst]  # rows owned by d by construction
+            send_idx[d, seg_off[s - 1] : seg_off[s - 1] + len(lst)] = lst - lo
+        lookup.append(remap_d)
+
+    def make_remap(d):
+        lo = d * ml
+        tbl = lookup[d]
+
+        def remap(cols):
+            cols = np.asarray(cols)
+            uniq, inv = np.unique(cols, return_inverse=True)
+            own = (uniq >= lo) & (uniq < lo + ml)
+            ext = np.empty_like(uniq, dtype=np.int32)
+            ext[own] = (uniq[own] - lo).astype(np.int32)
+            ext[~own] = [tbl[int(c)] for c in uniq[~own]]
+            return ext[inv].reshape(cols.shape)
+
+        return remap
+
+    return [make_remap(d) for d in range(ndev)], send_idx, caps
+
+
+def _ghost_exchange(x_local, send_l, caps, ndev, axis):
+    """Trace-time ghost-row exchange: one circular ppermute per
+    coupling-carrying shift, uniform (cap, b) slabs; returns x_local
+    extended with the ghost rows in receive order (the layout
+    ``_row_ghost_plan``'s remap targets)."""
+    ghosts = []
+    for s, cap in enumerate(caps, start=1):
+        if cap == 0:
+            continue
+        off = sum(caps[: s - 1])
+        slab = jnp.take(x_local, send_l[0, off : off + cap], axis=0)
+        perm = [(i, (i + s) % ndev) for i in range(ndev)]
+        ghosts.append(jax.lax.ppermute(slab, axis, perm=perm))
+    if not ghosts:
+        return x_local
+    return jnp.concatenate([x_local, *ghosts], axis=0)
+
+
+def _banded_coo_shards_np(A, ndev, dtype):
     """Split a scipy matrix into ``ndev`` row bands of row-sorted COO
-    triplets, padded to the max per-band nnz (uniform shard shapes), and
-    device_put over the mesh axis.  Pad slots target the band's last local
-    row with val 0 — zero contribution, ascending rows preserved (the
-    ``indices_are_sorted=True`` segment_sum contract).  Returns the three
-    sharded flat arrays."""
+    triplets, padded to the max per-band nnz (uniform shard shapes).  Pad
+    slots target the band's last local row with val 0 and the band's own
+    FIRST GLOBAL column — zero contribution, ascending rows preserved (the
+    ``indices_are_sorted=True`` segment_sum contract), and no spurious
+    remote-row demand in the ghost plan.  Returns host (ndev, cap) numpy
+    arrays (rows LOCAL, cols GLOBAL, vals)."""
     import numpy as np
     import scipy.sparse as sp
 
@@ -405,12 +560,21 @@ def _banded_coo_shards(A, ndev, dtype, mesh, axis):
         shards.append((band.row[order], band.col[order], band.data[order]))
     cap = max(max(len(s[0]) for s in shards), 1)
     rows = np.full((ndev, cap), ml - 1, np.int32)
-    cols = np.zeros((ndev, cap), np.int32)
+    # rectangular operands (m ≠ n): clamp the pad column into range — the
+    # pad value is 0 either way, the clamp only keeps the gather in-bounds
+    pad_col = np.minimum(
+        np.arange(ndev, dtype=np.int32) * ml, A.shape[1] - 1
+    )
+    cols = np.repeat(pad_col[:, None], cap, axis=1)
     vals = np.zeros((ndev, cap), dtype)
     for d, (r, c, v) in enumerate(shards):
         rows[d, : len(r)] = r
         cols[d, : len(c)] = c
         vals[d, : len(v)] = v.astype(dtype)
+    return rows, cols, vals
+
+
+def _put_coo_shards(rows, cols, vals, mesh, axis):
     sh = NamedSharding(mesh, P(axis))
     return (
         jax.device_put(rows.reshape(-1), sh),
@@ -419,28 +583,40 @@ def _banded_coo_shards(A, ndev, dtype, mesh, axis):
     )
 
 
-def _sharded_coo_apply(op, X, nrows_local):
-    """Shared shard_map body for the row-banded COO operators: all-gather
-    the input block over ICI, gather + sorted segment_sum into the local
+def _sharded_coo_apply(op, X, nrows_local, caps=None, send_idx=None):
+    """Shared shard_map body for the row-banded COO operators: extend the
+    local input block (boundary-only ghost exchange when a plan is given,
+    all-gather otherwise), gather + sorted segment_sum into the local
     band, accumulating in ``_pet(X.dtype)`` (bf16 inputs segment-sum in
     f32, matching the single-device CooOperator/RectCooOperator)."""
     from ..ops.spmm.operator import _pet
 
-    def local_apply(rows_l, cols_l, vals_l, x_local):
-        x_full = jax.lax.all_gather(x_local, op.axis, axis=0, tiled=True)
+    ndev = op.mesh.shape[op.axis]
+
+    def local_apply(rows_l, cols_l, vals_l, send_l, x_local):
+        if caps is None:
+            x_ext = jax.lax.all_gather(x_local, op.axis, axis=0, tiled=True)
+        else:
+            x_ext = _ghost_exchange(x_local, send_l, caps, ndev, op.axis)
         contrib = (
-            vals_l[:, None] * jnp.take(x_full, cols_l, axis=0)
+            vals_l[:, None] * jnp.take(x_ext, cols_l, axis=0)
         ).astype(_pet(x_local.dtype))
         return jax.ops.segment_sum(
             contrib, rows_l, num_segments=nrows_local, indices_are_sorted=True
         ).astype(x_local.dtype)
 
+    if send_idx is None:
+        send_idx = jax.device_put(
+            jnp.zeros((ndev, 1), jnp.int32),
+            NamedSharding(op.mesh, P(op.axis, None)),
+        )
     return jax.shard_map(
         local_apply,
         mesh=op.mesh,
-        in_specs=(P(op.axis), P(op.axis), P(op.axis), P(op.axis, None)),
+        in_specs=(P(op.axis), P(op.axis), P(op.axis),
+                  P(op.axis, None), P(op.axis, None)),
         out_specs=P(op.axis, None),
-    )(op.rows, op.cols, op.vals, X)
+    )(op.rows, op.cols, op.vals, send_idx, X)
 
 
 @register_operator
@@ -448,17 +624,23 @@ def _sharded_coo_apply(op, X, nrows_local):
 class ShardedCooSpMM(LinearOperator):
     """Row-partitioned COO segment-sum SpMM: each device owns its row
     band's nonzero triplets (row indices LOCAL to the band, padded to the
-    max per-device count so shapes are uniform), all-gathers the (n, b)
-    block over ICI, and reduces with one sorted ``segment_sum`` — the
-    skew-robust general distributed path (the single-device rationale is
-    in ops/spmm/coo.py; padding row-length-skewed matrices to ELL wastes
-    the skew factor in memory AND makes the per-device scan length the
-    GLOBAL max row length)."""
+    max per-device count so shapes are uniform) and reduces with one
+    sorted ``segment_sum`` — the skew-robust general distributed path
+    (the single-device rationale is in ops/spmm/coo.py; padding
+    row-length-skewed matrices to ELL wastes the skew factor in memory
+    AND makes the per-device scan length the GLOBAL max row length).
+
+    Input-block movement is BOUNDARY-ONLY by default (``_row_ghost_plan``
+    ppermute slabs, comm ∝ boundary rows); dense-coupling matrices fall
+    back to the all-gather (``caps is None``)."""
 
     rows: jax.Array  # (ndev * nnz_shard,) int32 LOCAL row ids, sharded
-    cols: jax.Array  # (ndev * nnz_shard,) int32 global column ids
+    cols: jax.Array  # (ndev * nnz_shard,) int32 LOCAL-EXTENDED ids (ghost
+    #                  plan) or global ids (all-gather fallback)
     vals: jax.Array  # (ndev * nnz_shard,)
+    send_idx: jax.Array  # (ndev, max(Σcaps, 1)) int32 local row ids
     _n: int = static_field(default=0)
+    caps: Optional[tuple] = static_field(default=None)
     mesh: Mesh = static_field(default=None)
     axis: str = static_field(default="rows")
 
@@ -471,24 +653,51 @@ class ShardedCooSpMM(LinearOperator):
         return self.vals.dtype
 
     @classmethod
-    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None):
+    def from_scipy(cls, A, mesh, axis: str = "rows", dtype=None,
+                   exchange: str = "auto"):
+        import numpy as np
+
+        if exchange not in ("auto", "ghost", "allgather"):
+            raise ValueError(f"exchange={exchange!r}")
         n = A.shape[0]
         ndev = mesh.shape[axis]
         if n % ndev:
             raise ValueError(f"n={n} not divisible by mesh axis size {ndev}")
-        rows, cols, vals = _banded_coo_shards(A, ndev, dtype, mesh, axis)
-        return cls(rows=rows, cols=cols, vals=vals, _n=n, mesh=mesh, axis=axis)
+        rows, cols, vals = _banded_coo_shards_np(A, ndev, dtype)
+        ml = n // ndev
+        caps = None
+        send_idx = np.zeros((ndev, 1), np.int32)
+        if exchange != "allgather" and ndev > 1:
+            remap, send_idx, caps_ = _row_ghost_plan(list(cols), ml, ndev)
+            if exchange == "ghost" or sum(caps_) < 0.5 * (ndev - 1) * ml:
+                caps = caps_
+                cols = np.stack([remap[d](cols[d]) for d in range(ndev)])
+        r, c, v = _put_coo_shards(rows, cols, vals, mesh, axis)
+        return cls(
+            rows=r, cols=c, vals=v,
+            send_idx=jax.device_put(
+                jnp.asarray(send_idx), NamedSharding(mesh, P(axis, None))
+            ),
+            _n=n, caps=caps, mesh=mesh, axis=axis,
+        )
 
     def apply(self, X):
-        return _sharded_coo_apply(self, X, self._n // self.mesh.shape[self.axis])
+        return _sharded_coo_apply(
+            self, X, self._n // self.mesh.shape[self.axis],
+            caps=self.caps, send_idx=self.send_idx,
+        )
 
     def diagonal(self):
-        # rows are LOCAL band ids: the diagonal entry of local row r on
-        # device d sits at global column d·ml + r; pad slots carry val 0
+        # rows are LOCAL band ids: the diagonal entry of local row r is
+        # local-extended id r under the ghost plan, global d·ml + r under
+        # the all-gather fallback; pad slots carry val 0
         ml = self._n // self.mesh.shape[self.axis]
+        local_ids = self.caps is not None
 
         def local_diag(rows_l, cols_l, vals_l):
-            base = (jax.lax.axis_index(self.axis) * ml).astype(cols_l.dtype)
+            base = 0 if local_ids else (
+                jax.lax.axis_index(self.axis) * ml
+            ).astype(cols_l.dtype)
             eq = cols_l == rows_l + base
             return jax.ops.segment_sum(
                 jnp.where(eq, vals_l, 0.0), rows_l, num_segments=ml,
@@ -501,6 +710,14 @@ class ShardedCooSpMM(LinearOperator):
             in_specs=(P(self.axis), P(self.axis), P(self.axis)),
             out_specs=P(self.axis),
         )(self.rows, self.cols, self.vals)
+
+    def comm_rows_per_apply(self) -> int:
+        """Ghost rows each device moves per apply (an all-gather moves
+        n − n/ndev) — the boundary comm-volume metric."""
+        ndev = self.mesh.shape[self.axis]
+        if self.caps is None:
+            return self._n - self._n // ndev
+        return int(sum(self.caps))
 
 
 @register_operator
@@ -539,7 +756,9 @@ class ShardedRectCooSpMM:
             raise ValueError(
                 f"shape {B.shape} not divisible by mesh axis size {ndev}"
             )
-        rows, cols, vals = _banded_coo_shards(B, ndev, dtype, mesh, axis)
+        rows, cols, vals = _put_coo_shards(
+            *_banded_coo_shards_np(B, ndev, dtype), mesh, axis
+        )
         return cls(
             rows=rows, cols=cols, vals=vals,
             _m=m, _ncols=n, mesh=mesh, axis=axis,

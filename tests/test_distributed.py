@@ -281,3 +281,96 @@ def test_sharded_generalized_pencil(eight_devices):
     resi = rbl_generalized(Ash, Msh, 3, cfg=cfg, which="LM", sigma=sig)
     exact = w[np.argsort(np.abs(w - sig), kind="stable")[:3]]
     np.testing.assert_allclose(resi.eigenvalues, exact, rtol=1e-9)
+
+
+def test_row_ghost_exchange_matches_scipy(eight_devices):
+    """Boundary-only row-ghost exchange (ShardedEllSpMM/ShardedCooSpMM):
+    a banded matrix must pick the ghost path (caps set, comm ∝ boundary
+    rows) and reproduce scipy exactly; a long-range permutation matrix
+    exercises ghosts on far shifts."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM, ShardedEllSpMM
+
+    mesh = make_row_mesh(8)
+    n, b = 512, 4  # ml = 64
+    rng = np.random.default_rng(21)
+
+    diags = [rng.standard_normal(n - abs(o)) for o in (-9, -1, 0, 1, 9)]
+    A_band = sp.csr_matrix(sp.diags(diags, [-9, -1, 0, 1, 9]))
+    A_band = sp.csr_matrix(A_band + A_band.T)
+
+    # long-range but sparse coupling: band + a few cross-device arcs
+    M = A_band.tolil(copy=True)
+    for i in range(0, n, 97):
+        M[i, (i + 3 * 64 + 11) % n] = 1.5
+        M[(i + 3 * 64 + 11) % n, i] = 1.5
+    A_far = sp.csr_matrix(M)
+
+    X = rng.standard_normal((n, b))
+    Xs = shard_rows(jnp.asarray(X), mesh)
+    for A in (A_band, A_far):
+        for cls in (ShardedEllSpMM, ShardedCooSpMM):
+            op = cls.from_scipy(A, mesh)
+            assert op.caps is not None, (cls.__name__, "expected ghost path")
+            np.testing.assert_allclose(
+                np.asarray(op.apply(Xs)), A @ X, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(op.diagonal()), A.diagonal(), atol=1e-14
+            )
+        # bandwidth 9 < ml=64: ghosts only from the two neighbor shifts,
+        # ≤ 9 rows each way (vs 448 rows for an all-gather)
+        op_band = ShardedCooSpMM.from_scipy(A_band, mesh)
+        if A is A_band:
+            assert op_band.comm_rows_per_apply() <= 18
+            assert op_band.comm_rows_per_apply() < 0.05 * (n - n // 8)
+
+
+def test_row_ghost_fallback_on_dense_coupling(eight_devices):
+    """Dense-coupling sparsity (ghost volume ≥ half the all-gather's) must
+    auto-fall back to the all-gather (caps is None) and still be exact;
+    exchange='ghost' forces the boundary path and must agree."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM, ShardedEllSpMM
+
+    mesh = make_row_mesh(8)
+    n, b = 512, 4
+    rng = np.random.default_rng(22)
+    M = sp.random(n, n, density=0.15, random_state=23)
+    A = sp.csr_matrix(M + M.T)
+    X = rng.standard_normal((n, b))
+    Xs = shard_rows(jnp.asarray(X), mesh)
+    for cls in (ShardedEllSpMM, ShardedCooSpMM):
+        op = cls.from_scipy(A, mesh)
+        assert op.caps is None, (cls.__name__, "expected all-gather fallback")
+        assert op.comm_rows_per_apply() == n - n // 8
+        np.testing.assert_allclose(np.asarray(op.apply(Xs)), A @ X, atol=1e-12)
+        forced = cls.from_scipy(A, mesh, exchange="ghost")
+        assert forced.caps is not None
+        np.testing.assert_allclose(
+            np.asarray(forced.apply(Xs)), A @ X, atol=1e-12
+        )
+
+
+def test_row_ghost_solve_end_to_end(eight_devices):
+    """Full eigensolve through the ghost-path ShardedCooSpMM (banded
+    operator, boundary-only exchange) vs dense eigh."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+
+    mesh = make_row_mesh(8)
+    n, k, b = 512, 5, 4
+    rng = np.random.default_rng(24)
+    diags = [rng.standard_normal(n - abs(o)) for o in (-5, 0, 5)]
+    A = sp.csr_matrix(sp.diags(diags, [-5, 0, 5]))
+    A = sp.csr_matrix(A + A.T)
+    op = ShardedCooSpMM.from_scipy(A, mesh)
+    assert op.caps is not None
+    cfg = RBLConfig(block_size=b, mesh=mesh, max_kryl_dim=256)
+    res = rt.rbl(op, k, b, cfg=cfg)
+    w = np.linalg.eigvalsh(A.toarray())
+    ref = w[np.argsort(-np.abs(w))][:k]
+    np.testing.assert_allclose(res.eigenvalues, ref, rtol=1e-9)

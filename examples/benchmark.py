@@ -24,6 +24,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--matrix", help=".mtx or .mat file (SuiteSparse)")
     p.add_argument("--laplacian", type=int, default=0, help="2D grid side")
+    p.add_argument("--fem3d", type=int, default=0,
+                   help="assemble a real 3D elasticity stiffness matrix on "
+                        "an N^3 hex mesh (the ldoor/hood SuiteSparse family; "
+                        "use when the matrices can't be downloaded — see "
+                        "benchmarks/fetch_suitesparse.sh). N=42 is "
+                        "hood-class (238k dof), N=64 ldoor-class (0.8M)")
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--blocks", default="4")
     p.add_argument("--tol", type=float, default=1e-7)
@@ -54,6 +60,12 @@ def main():
         A = load_matrix(args.matrix)
         op = rt.as_operator(A)
         label = args.matrix
+    elif args.fem3d:
+        from rbl_tpu.utils.fem import fem_elasticity_3d
+
+        A = fem_elasticity_3d(args.fem3d)
+        op = rt.as_operator(A.astype(np.float64 if use_f64 else np.float32))
+        label = f"fem3d-elasticity-{args.fem3d}^3 (n={A.shape[0]}, nnz={A.nnz})"
     elif args.laplacian:
         s = args.laplacian
         dt = jnp.float64 if use_f64 else jnp.float32
@@ -61,7 +73,7 @@ def main():
         A = None
         label = f"laplacian2d-{s}x{s}"
     else:
-        p.error("need --matrix or --laplacian")
+        p.error("need --matrix, --fem3d, or --laplacian")
 
     dtype = jnp.float64 if use_f64 else jnp.float32
     blocks = [int(x) for x in args.blocks.split(",")]

@@ -130,6 +130,74 @@ def main():
             dt = time_apply(op, X, args.reps)
             rows.append((name, dt, A.nnz / dt / 1e9))
 
+        # FEM-class problems — the matrices the BSR kernel exists for
+        # (reference benchmark.jl:21-28 benchmarks ldoor/hood/audikw).
+        # (a) real 3D elasticity on a regular mesh (fill 5.6% at 128x128,
+        #     ~19% at 8x128 — the packed fine-tile layout's home turf);
+        # (b) audikw-style scattered dense 16x16 node blocks.
+        from rbl_tpu.utils.fem import fem_elasticity_3d
+
+        F = fem_elasticity_3d(30).astype(np.float32)  # n=86490, 6.6 Mnnz
+        Xf = jnp.asarray(
+            rng.standard_normal((F.shape[0], b)).astype(np.float32)
+        )
+        for name, mk in [
+            ("bsr-fem3d", lambda: rt.BlockSparseOperator.from_scipy(
+                F, dtype=jnp.float32)),
+            ("bsr128-fem3d", lambda: rt.BlockSparseOperator.from_scipy(
+                F, dtype=jnp.float32, bm=128)),
+            ("dia-fem3d", lambda: rt.DiaOperator.from_scipy(
+                F, dtype=np.float32)),
+            ("auto-fem3d", lambda: rt.as_operator(F, dtype=np.float32)),
+        ]:
+            try:
+                op = mk()
+            except Exception as e:
+                print(f"{name:>12}: skipped ({e})")
+                continue
+            dt = time_apply(op, Xf, args.reps)
+            label = getattr(op, "density_report", lambda: "")()
+            print(f"  {name}: {label}")
+            rows.append((name, dt, F.nnz / dt / 1e9))
+
+        # sized so the 128x128 A/B variant (~1.7% fill -> ~60x stored
+        # inflation) still fits HBM next to the packed one
+        nbn = 65536 // 16
+        bpr = 7
+        rb = np.repeat(np.arange(nbn), bpr)
+        cb = rng.integers(0, nbn, rb.size)
+        key = np.unique(
+            np.concatenate([rb, cb]).astype(np.int64) * nbn
+            + np.concatenate([cb, rb])
+        )
+        rb, cb = key // nbn, key % nbn
+        ii = (rb[:, None, None] * 16 + np.arange(16)[None, :, None]
+              ).repeat(16, axis=2).ravel()
+        jj = (cb[:, None, None] * 16 + np.arange(16)[None, None, :]
+              ).repeat(16, axis=1).ravel()
+        G = sp.coo_matrix(
+            (rng.standard_normal(ii.size).astype(np.float32), (ii, jj)),
+            shape=(nbn * 16, nbn * 16),
+        ).tocsr()
+        Xg = jnp.asarray(
+            rng.standard_normal((G.shape[0], b)).astype(np.float32)
+        )
+        for name, mk in [
+            ("bsr-blocky", lambda: rt.BlockSparseOperator.from_scipy(
+                G, dtype=jnp.float32)),
+            ("bsr128-blocky", lambda: rt.BlockSparseOperator.from_scipy(
+                G, dtype=jnp.float32, bm=128)),
+        ]:
+            try:
+                op = mk()
+            except Exception as e:
+                print(f"{name:>12}: skipped ({e})")
+                continue
+            dt = time_apply(op, Xg, args.reps)
+            label = getattr(op, "density_report", lambda: "")()
+            print(f"  {name}: {label}")
+            rows.append((name, dt, G.nnz / dt / 1e9))
+
         # skewed row-length problem (mean ~16 nnz/row, 8 half-dense rows):
         # pure ELL pads every row to n/2 — HYB caps the scan at the
         # typical row length and spills the heavy rows to COO.  Built from

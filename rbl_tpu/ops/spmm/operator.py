@@ -383,13 +383,14 @@ def _pick_sparse_format(A, dtype) -> str:
     # an f32/bf16 matrix with dtype=None must still reach the BSR branch
     itemsize = jnp.dtype(dtype if dtype is not None else A.dtype).itemsize
     if jax.default_backend() == "tpu" and itemsize <= 4:
-        nb = -(-n // 128)
-        blocks = len(
-            _np.unique(
-                (coo.row // 128).astype(_np.int64) * nb + coo.col // 128
-            )
-        )
-        fill = A.nnz / max(blocks * 128 * 128, 1)
+        # probe fill at the AUTO-TUNED tile height — the packed layout
+        # stores several x fewer zeros than 128x128 blocked-ELL on
+        # FEM-class matrices, which moves the BSR-vs-ELL crossover
+        from .pallas_bsr import _tile_census, pick_tile_height
+
+        bm = pick_tile_height(A)
+        _, ukey, _, _, _, _, _ = _tile_census(coo, bm, 128)
+        fill = A.nnz / max(len(ukey) * bm * 128, 1)
         if fill >= 0.02:
             return "bsr"
     # ELL pads every row to the max row nnz: under row-length skew

@@ -143,6 +143,110 @@ def bsr_spmm(block_cols, block_vals, X, *, bm: int, bk: int, L: int,
     )(block_cols, block_vals, *([X] * U))
 
 
+def _make_packed_kernel(unroll: int):
+    """Packed variable-length variant: one (block-row i, chunk j) grid step
+    accumulates U tiles from the row's packed tile list; steps past the
+    row's chunk count are masked no-ops whose clamped index maps repeat the
+    previous block (Pallas skips the DMA when the block index is
+    unchanged), so short rows cost idle grid steps, not HBM traffic."""
+
+    def kernel(cols_ref, hcnt_ref, rptr_ref, vals_ref, *rest):
+        x_refs, (out_ref, acc_ref) = rest[:unroll], rest[unroll:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(j < hcnt_ref[i])
+        def _():
+            for u in range(unroll):
+                acc_ref[:] += jnp.dot(
+                    vals_ref[u], x_refs[u][:],
+                    preferred_element_type=acc_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bm", "bk", "H", "unroll", "interpret", "out_dtype"),
+)
+def bsr_spmm_packed(tile_cols, hcount, rptr, vals, X, *, bm: int, bk: int,
+                    H: int, unroll: int = 1, interpret: bool = False,
+                    out_dtype=None):
+    """Y = A @ X for packed (CSR-of-tiles) blocked-sparse A.
+
+    Unlike ``bsr_spmm``'s blocked-ELL, rows store only their own tiles:
+    ``vals``: (nchunks*U, bm, bk) row-major packed, each block-row's tile
+    list zero-padded to a multiple of U (padding tiles have col 0 and zero
+    values); ``tile_cols``: (nchunks*U,) int32 column-block ids;
+    ``rptr``: (nb,) int32 first chunk of each block-row; ``hcount``: (nb,)
+    int32 chunk count per block-row; H = max(hcount).  Memory padding is
+    at most U-1 tiles per row (vs. blocked-ELL's pad-to-L_max), which is
+    what lifts useful-bytes throughput on skewed tile-count matrices.
+    """
+    nb = rptr.shape[0]
+    b = X.shape[1]
+    out_dtype = out_dtype or X.dtype
+    U = unroll
+
+    def clamped(i, j, hcnt, rptr_):
+        # last valid chunk re-addressed on padding steps → DMA skipped
+        return rptr_[i] + jnp.minimum(j, jnp.maximum(hcnt[i] - 1, i * 0))
+
+    def x_spec(u):
+        return pl.BlockSpec(
+            (bk, b),
+            lambda i, j, cols, hcnt, rptr_: (
+                cols[clamped(i, j, hcnt, rptr_) * U + u], i * 0
+            ),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, H),
+        in_specs=[
+            pl.BlockSpec(
+                (U, bm, bk),
+                lambda i, j, cols, hcnt, rptr_: (
+                    clamped(i, j, hcnt, rptr_), i * 0, i * 0
+                ),
+            ),
+            *[x_spec(u) for u in range(U)],
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, b), lambda i, j, cols, hcnt, rptr_: (i, i * 0)
+        ),
+        scratch_shapes=[pltpu.VMEM(
+            (bm, b),
+            jnp.float64 if X.dtype == jnp.float64 else jnp.float32,
+        )],
+    )
+    return pl.pallas_call(
+        _make_packed_kernel(U),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bm, b), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.shape[0] * bm * bk * b,
+            bytes_accessed=(
+                vals.size * vals.dtype.itemsize
+                + vals.shape[0] * bk * b * X.dtype.itemsize
+                + nb * bm * b * np.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(tile_cols, hcount, rptr, vals, *([X] * U))
+
+
 def _device_put_large(x: np.ndarray, chunk_bytes: int = 128 * 2**20):
     """Host→device transfer in bounded chunks along axis 0.  Remote-attached
     TPU transports (and some RPC stacks) cap single-request payloads; a
@@ -155,6 +259,81 @@ def _device_put_large(x: np.ndarray, chunk_bytes: int = 128 * 2**20):
         for i in range(0, x.shape[0], rows_per)
     ]
     return jnp.concatenate(parts, axis=0)
+
+
+def _tile_census(A, bm: int, bk: int):
+    """Host-side (block-row id, col id) pairs of nonzero tiles + per-row
+    counts — the cheap statistic both the packed converter and the tile-
+    height auto-tuner need."""
+    import scipy.sparse as sp
+
+    C = A if isinstance(A, sp.coo_matrix) else sp.coo_matrix(A)
+    n = C.shape[0]
+    nb = -(-n // bm)
+    ncb = -(-n // bk)
+    key = (C.row // bm).astype(np.int64) * ncb + (C.col // bk)
+    ukey = np.unique(key)
+    ubr = (ukey // ncb).astype(np.int64)
+    ubc = (ukey % ncb).astype(np.int32)
+    counts = np.bincount(ubr, minlength=nb)
+    return key, ukey, ubr, ubc, counts, nb, ncb
+
+
+def pick_tile_height(A, bk: int = 128, unroll: int = 4,
+                     candidates=(128, 64, 32, 16)) -> int:
+    """Choose the row-tile height minimizing modeled HBM traffic.
+
+    Finer tiles raise fill (fewer stored zeros) but add per-step pipeline
+    overhead and scalar-prefetch footprint; the model charges each row
+    U-alignment padding and each chunk a fixed-cost floor, and rejects
+    heights whose tile-id array would overflow scalar memory (~1 MB SMEM,
+    CLAUDE.md gotcha 6).
+    """
+    best, best_cost = candidates[0], float("inf")
+    for bm in candidates:
+        _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
+        chunks = np.maximum(-(-counts // unroll), 1)
+        tiles_padded = int(chunks.sum()) * unroll
+        if tiles_padded * 4 > 512 * 1024:  # tile_cols must fit in SMEM
+            continue
+        bytes_tiles = tiles_padded * bm * bk * 4
+        # per-chunk floor: ~150 ns of pipeline overhead ≈ 120 kB of HBM
+        # time at 800 GB/s — charges tiny tiles for their step count
+        cost = bytes_tiles + int(chunks.max()) * nb * 120_000 // 1000
+        if cost < best_cost:
+            best, best_cost = bm, cost
+    return best
+
+
+def _packed_bsr_from_scipy(A, bm: int, bk: int, unroll: int, dtype):
+    """Host-side conversion scipy sparse → packed (CSR-of-tiles) arrays.
+
+    Each block-row's tile list is zero-padded to a multiple of ``unroll``
+    (padding tiles point at column-block 0 with zero values — the
+    identity-contribution trick)."""
+    import scipy.sparse as sp
+
+    C = sp.coo_matrix(A)
+    C.sum_duplicates()
+    n = C.shape[0]
+    key, ukey, ubr, ubc, counts, nb, ncb = _tile_census(C, bm, bk)
+    chunks = np.maximum(-(-counts // unroll), 1)  # ≥1 so hcount ≥ 1
+    rptr = np.zeros(nb, dtype=np.int32)
+    rptr[1:] = np.cumsum(chunks)[:-1]
+    T = int(chunks.sum()) * unroll
+
+    # slot of each unique tile within its row, then its packed position
+    row_start = np.searchsorted(ubr, np.arange(nb))
+    slot = np.arange(len(ukey)) - row_start[ubr]
+    pos = rptr[ubr] * unroll + slot  # packed tile index
+
+    tile_cols = np.zeros(T, dtype=np.int32)
+    tile_cols[pos] = ubc
+    vals = np.zeros((T, bm, bk), dtype=np.dtype(dtype))
+    inv = np.searchsorted(ukey, key)  # nnz → unique-tile rank
+    vals[pos[inv], C.row % bm, C.col % bk] = C.data.astype(np.dtype(dtype))
+    hcount = chunks.astype(np.int32)
+    return tile_cols, hcount, rptr, vals, nb, ncb, int(chunks.max())
 
 
 def _blocked_ell_from_scipy(A, bm: int, bk: int, dtype):
@@ -188,16 +367,26 @@ def _blocked_ell_from_scipy(A, bm: int, bk: int, dtype):
 @register_operator
 @dataclasses.dataclass(frozen=True)
 class BlockSparseOperator(LinearOperator):
-    """Symmetric sparse operator in blocked-ELL layout, applied with the
-    Pallas BSR SpMM kernel on TPU (interpret mode on CPU test backends).
+    """Symmetric sparse operator in packed (CSR-of-tiles) block layout,
+    applied with the Pallas packed-BSR SpMM kernel on TPU (interpret mode
+    on CPU test backends).
 
-    Tiles are MXU-shaped; use f32/bf16 (the TPU MXU has no f64 — f64 solves
-    should use the ELL/DIA operators, which XLA emulates correctly)."""
+    Tile height is auto-tuned per matrix (``pick_tile_height``): FEM-class
+    matrices with scattered dense node blocks store far fewer zeros at
+    16x128 than at the MXU-square 128x128 (measured 10.4% -> ~40%+ tile
+    fill on the blocky fixture), and the packed layout pays no
+    ELL pad-to-max on skewed tile counts.  Tiles are MXU-shaped in the
+    contraction dim (bk=128); use f32/bf16 (the TPU MXU has no f64 — f64
+    solves should use the ELL/DIA operators, which XLA emulates
+    correctly)."""
 
-    block_cols: jax.Array   # (nb*L,) int32, row-major over (block-row, slot)
-    block_vals: jax.Array   # (nb*L, bm, bk), row-major over (block-row, slot)
+    tile_cols: jax.Array    # (T,) int32 column-block id per packed tile
+    hcount: jax.Array       # (nb,) int32 chunk count per block-row
+    rptr: jax.Array         # (nb,) int32 first chunk of each block-row
+    vals: jax.Array         # (T, bm, bk) packed tiles (zeros in padding)
+    diag: jax.Array | None = None  # (n,) — stashed at construction
     _n: int = static_field(default=0)
-    L: int = static_field(default=1)
+    H: int = static_field(default=1)
     bm: int = static_field(default=128)
     bk: int = static_field(default=128)
     unroll: int = static_field(default=1)
@@ -209,66 +398,59 @@ class BlockSparseOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.block_vals.dtype
+        return self.vals.dtype
 
     @property
     def nnz_blocks(self):
-        return int(self.block_cols.shape[0])
+        return int(self.tile_cols.shape[0])
 
     def apply(self, X):
         # X is indexed by column blocks: pad its rows to ncb*bk
         ncb = -(-self._n // self.bk)
         pad = ncb * self.bk - self._n
         Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
-        Y = bsr_spmm(
-            self.block_cols, self.block_vals, Xp.astype(self.dtype),
-            bm=self.bm, bk=self.bk, L=self.L, unroll=self.unroll,
+        Y = bsr_spmm_packed(
+            self.tile_cols, self.hcount, self.rptr, self.vals,
+            Xp.astype(self.dtype),
+            bm=self.bm, bk=self.bk, H=self.H, unroll=self.unroll,
             interpret=self.interpret, out_dtype=X.dtype,
         )
-        nrows = (self.block_cols.shape[0] // self.L) * self.bm
+        nrows = self.rptr.shape[0] * self.bm
         return Y[: self._n] if nrows != self._n else Y
 
     def diagonal(self):
-        if self.bm != self.bk:
-            return None  # diagonal straddles tiles for rectangular blocks
-        nb = self.block_cols.shape[0] // self.L
-        cols = self.block_cols.reshape(nb, self.L)
-        vals = self.block_vals.reshape(nb, self.L, self.bm, self.bk)
-        tile_diag = jnp.diagonal(vals, axis1=2, axis2=3)  # (nb, L, bm)
-        mask = (cols == jnp.arange(nb, dtype=cols.dtype)[:, None])
-        # padding slots have zero values, so a col-0 pad cannot pollute
-        d = jnp.sum(tile_diag * mask[:, :, None], axis=1).reshape(-1)
-        return d[: self._n]
+        return self.diag
 
     @classmethod
-    def from_scipy(cls, A, dtype=jnp.float32, bm: int = 128, bk: int = 128,
-                   interpret: bool | None = None):
+    def from_scipy(cls, A, dtype=jnp.float32, bm: int | None = None,
+                   bk: int = 128, interpret: bool | None = None,
+                   unroll: int | None = None):
         """Build from a scipy sparse symmetric matrix.
 
-        ``interpret`` defaults to True off-TPU (CPU test backend) and False
-        on TPU."""
+        ``bm=None`` auto-tunes the tile height from the matrix's tile-fill
+        profile; ``interpret`` defaults to True off-TPU (CPU test backend)
+        and False on TPU."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        block_cols, block_vals, nb, ncb, L = _blocked_ell_from_scipy(
-            A, bm, bk, dtype
+        if unroll is None:
+            unroll = 4
+        if bm is None:
+            bm = pick_tile_height(A, bk=bk, unroll=unroll)
+        tile_cols, hcount, rptr, vals, nb, ncb, H = _packed_bsr_from_scipy(
+            A, bm, bk, unroll, dtype
         )
-        # fetch 2 tiles per grid step once there's enough reduction depth
-        # to amortize the padding (measured +20% HBM bandwidth)
-        unroll = 2 if L >= 4 else 1
-        if L % unroll:
-            pad = unroll - L % unroll
-            block_cols = np.pad(block_cols, ((0, 0), (0, pad)))
-            block_vals = np.pad(
-                block_vals, ((0, 0), (0, pad), (0, 0), (0, 0))
-            )
-            L += pad
-        # X is padded to ncb*bk rows; index_map addresses it in bk units.
-        nb, L = block_cols.shape
+        import scipy.sparse as sp
+
         return cls(
-            block_cols=jnp.asarray(block_cols.reshape(nb * L)),
-            block_vals=_device_put_large(block_vals.reshape(nb * L, bm, bk)),
+            tile_cols=jnp.asarray(tile_cols),
+            hcount=jnp.asarray(hcount),
+            rptr=jnp.asarray(rptr),
+            vals=_device_put_large(vals),
+            diag=jnp.asarray(
+                sp.csr_matrix(A).diagonal().astype(np.dtype(dtype))
+            ),
             _n=A.shape[0],
-            L=L,
+            H=H,
             bm=bm,
             bk=bk,
             unroll=unroll,
@@ -276,10 +458,10 @@ class BlockSparseOperator(LinearOperator):
         )
 
     def density_report(self) -> str:
-        nb = self.block_cols.shape[0] // self.L
-        nnz = int(np.count_nonzero(np.asarray(self.block_vals)))
-        stored = int(self.block_vals.size)
+        nnz = int(np.count_nonzero(np.asarray(self.vals)))
+        stored = int(self.vals.size)
         return (
-            f"BlockSparseOperator: n={self._n}, {nb}x{self.L} tiles of "
-            f"{self.bm}x{self.bk}, fill={nnz/max(stored,1):.3f}"
+            f"BlockSparseOperator: n={self._n}, {self.nnz_blocks} packed "
+            f"tiles of {self.bm}x{self.bk} (H={self.H}, unroll="
+            f"{self.unroll}), fill={nnz/max(stored,1):.3f}"
         )

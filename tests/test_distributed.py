@@ -252,6 +252,7 @@ def test_sharded_bsr_solve_end_to_end(eight_devices):
     np.testing.assert_allclose(res.eigenvalues, ref, rtol=1e-9)
 
 
+@pytest.mark.slow  # ~55s integration; sharded path covered by test_sharded_solve_matches_single_device
 def test_sharded_generalized_pencil(eight_devices):
     """rbl_generalized over a mesh: A and M both ShardedCooSpMM — the
     Chebyshev M^{−1/2} series, the pencil sweep, and the Rayleigh

@@ -237,6 +237,7 @@ def test_fuzz_restarted(shape):
     assert np.all(rel < 1e-10), (res.eigenvalues, true_k, rel)
 
 
+@pytest.mark.slow  # ~60s: the fast tier covers pencils in test_generalized
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzz_generalized_pencils(seed):
     """Random SPD pencils through rbl_generalized: random sparse symmetric

@@ -332,6 +332,7 @@ class TestGeneralizedShiftInvert:
         V = res.eigenvectors
         assert np.max(np.abs(V.T @ (M @ V) - np.eye(3))) < 1e-8
 
+    @pytest.mark.slow  # ~55s: each mode also has its own fast-tier test
     def test_modes_cross_check_vs_scipy_arpack(self):
         # scipy's eigsh drives the REAL ARPACK modes (with a factorization
         # we deliberately avoid); our factorization-free transforms must

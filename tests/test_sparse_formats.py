@@ -258,3 +258,74 @@ def test_as_operator_routes_pure_diagonal_to_diagonal_operator():
 
     assert isinstance(rt.as_operator(sp.diags(d), format="dia"),
                       DiaOperator)
+
+
+# ---- packed (CSR-of-tiles) BSR layout --------------------------------------
+
+def _messy_sym(n=2000, seed=0):
+    """Skewed tile counts, one very heavy row, plenty of empty block-rows."""
+    rng = np.random.default_rng(seed)
+    rows = np.concatenate([rng.integers(0, 300, 4000), np.full(1500, 1777)])
+    cols = np.concatenate(
+        [rng.integers(0, n, 4000), rng.integers(0, n, 1500)]
+    )
+    vals = rng.standard_normal(rows.size)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    return ((A + A.T) * 0.5).tocsr()
+
+
+@pytest.mark.parametrize("bm", [None, 16, 32, 128])
+def test_bsr_packed_matches_scipy_all_tile_heights(bm):
+    A = _messy_sym()
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((A.shape[0], 8)).astype(np.float32)
+    op = BlockSparseOperator.from_scipy(
+        A, dtype=jnp.float32, bm=bm, interpret=True
+    )
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    ref = (A @ X.astype(np.float64)).astype(np.float32)
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 5e-6
+    np.testing.assert_allclose(
+        np.asarray(op.diagonal()), A.diagonal(), atol=1e-6
+    )
+
+
+def test_bsr_tile_height_autotune_prefers_fine_tiles_on_fem():
+    """A real FEM elasticity matrix stores ~3x fewer zeros at 16x128 than
+    at 128x128 (measured: fill 5.6% -> 16-21%); the tuner must see that."""
+    from rbl_tpu.ops.spmm.pallas_bsr import pick_tile_height
+    from rbl_tpu.utils.fem import fem_elasticity_3d
+
+    A = fem_elasticity_3d(8)
+    assert pick_tile_height(A) <= 32
+    op = BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((A.shape[0], 8)).astype(np.float32)
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    ref = (A @ X.astype(np.float64)).astype(np.float32)
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 5e-6
+
+
+def test_bsr_packed_pads_rows_to_unroll_not_to_max():
+    """Packed layout memory: a matrix with one 40-tile row and 99 1-tile
+    rows must store ~40+99 tiles (plus <=U-1 per-row alignment), not
+    100 rows x 40 tiles of ELL padding."""
+    n = 100 * 16
+    rng = np.random.default_rng(3)
+    rows = np.concatenate([np.full(40, 5), np.arange(100) * 16])
+    cols = np.concatenate(
+        [np.arange(40) * 40, rng.integers(0, n, 100)]
+    )
+    A = sp.coo_matrix(
+        (np.ones(rows.size), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    op = BlockSparseOperator.from_scipy(
+        A, dtype=jnp.float32, bm=16, interpret=True
+    )
+    # 100 block-rows x U(=4)-alignment + the heavy row's 13 tiles in 4
+    # chunks = 412; blocked-ELL at L_max=13 would store 100 x 16 = 1600
+    assert op.nnz_blocks <= 100 * op.unroll + 16
+    X = rng.standard_normal((n, 4)).astype(np.float32)
+    Y = np.asarray(op.apply(jnp.asarray(X)))
+    ref = (A @ X.astype(np.float64)).astype(np.float32)
+    assert np.abs(Y - ref).max() <= 5e-6 * max(np.abs(ref).max(), 1)

@@ -109,6 +109,45 @@ def main():
         "note": "ndev*T(1)/T(ndev) on shared-core virtual devices",
     }))
 
+    # ---- general-sparse exchange A/B: boundary-only ghosts vs all-gather
+    # (VERDICT r1 item 3: comm volume must scale with boundary rows, and
+    # the sharded step must be faster for it on bandwidth-dominated
+    # operators).  Banded matrix, bandwidth << rows/device.
+    import scipy.sparse as sp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedCooSpMM
+
+    ndev = min(8, ndev_avail)
+    mesh = make_row_mesh(ndev)
+    n = args.rows_per_dev * ndev
+    bw = 64
+    diags = [rng.standard_normal(n) for _ in range(5)]
+    offs = [0, 1, -1, bw, -bw]
+    A = sp.diags(diags, offs, (n, n)).tocsr().astype(np.float32)
+    A = ((A + A.T) * 0.5).tocsr()
+    sh = row_sharding(mesh)
+    Xs = jax.device_put(
+        jnp.asarray(rng.standard_normal((n, b)), jnp.float32), sh
+    )
+    for exch in ("ghost", "allgather"):
+        op = ShardedCooSpMM.from_scipy(A, mesh, dtype=jnp.float32,
+                                       exchange=exch)
+        comm = op.comm_rows_per_apply()
+        app = jax.jit(op.apply)
+        jax.block_until_ready(app(Xs))
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = app(Xs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"coo-{exch:>9}: {dt*1e3:8.2f} ms/apply  "
+              f"comm_rows={comm} ({comm/n:.1%} of n)")
+        print(json.dumps({
+            "metric": f"sharded_coo_{exch}_{ndev}dev",
+            "value": round(dt * 1e3, 3), "unit": "ms",
+            "comm_rows": int(comm),
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -50,6 +50,12 @@ def run(timed: bool, seed: int = 0):
     prec = os.environ.get("RBL_BENCH_PRECISION")
     if prec:
         cfg = cfg.replace(matmul_precision=prec)
+    # A/B hook: RBL_BENCH_BASIS=bf16 stores the Krylov basis in bfloat16
+    # (halves the full-scrub read traffic — the dominant HBM stream late
+    # in the sweep) with f32-accumulated contractions; the JSON's
+    # max_rel_err says whether the headline survives the coarser basis.
+    if os.environ.get("RBL_BENCH_BASIS") == "bf16":
+        cfg = cfg.replace(basis_dtype=jnp.bfloat16)
     # A/B hook: RBL_BENCH_FILTERED=1 (or =<degree>) runs the
     # Chebyshev-filtered solver (solver/filtered.py) instead — measurement
     # only; the recorded headline stays on the default path.  The PSD

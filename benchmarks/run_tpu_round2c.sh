@@ -85,4 +85,7 @@ print(json.dumps({"metric": "generalized_fem1d_262k_k16", "value":
                   "converged": bool(res.converged)}))
 EOF2
 
+echo "== SpMM formats rerun (incremental row printing; first attempt lost its timings to the timebox during the 3.4 GB bsr128-blocky transfer) =="
+timeout 3600 python benchmarks/spmm_bench.py 2>&1 | log spmm3
+
 echo "done — logs in benchmarks/results/tpu_${stamp}_*.log"

@@ -69,6 +69,13 @@ def time_apply(op, X, reps):
     return max(hi - lo, 1e-9) / (3 * reps)
 
 
+def _row(rows, name, dt, gnnz):
+    # print as we go: timeboxed TPU runs must not lose completed cases
+    print(f"  [row] {name:>14} {dt*1e3:9.3f} ms {gnnz:8.2f} Gnnz/s",
+          flush=True)
+    rows.append((name, dt, gnnz))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=262144)
@@ -107,7 +114,7 @@ def main():
                 print(f"{name:>12}: skipped ({e})")
                 continue
             dt = time_apply(op, X, args.reps)
-            rows.append((name, dt, nnz / dt / 1e9))
+            _row(rows, name, dt, nnz / dt / 1e9)
     else:
         # structurally matched synthetic problems
         side = int(np.sqrt(n))
@@ -116,7 +123,7 @@ def main():
             rng.standard_normal((side * side, b)).astype(np.float32)
         )
         dt = time_apply(lap, Xl, args.reps)
-        rows.append(("stencil-2d", dt, 5 * side * side / dt / 1e9))
+        _row(rows, "stencil-2d", dt, 5 * side * side / dt / 1e9)
 
         offs = [0, 1, -1, 128, -128, 256, -256, 4096, -4096]
         A = sp.diags([rng.standard_normal(n) for _ in offs], offs, (n, n))
@@ -128,7 +135,7 @@ def main():
         ]:
             op = mk()
             dt = time_apply(op, X, args.reps)
-            rows.append((name, dt, A.nnz / dt / 1e9))
+            _row(rows, name, dt, A.nnz / dt / 1e9)
 
         # FEM-class problems — the matrices the BSR kernel exists for
         # (reference benchmark.jl:21-28 benchmarks ldoor/hood/audikw).
@@ -158,7 +165,7 @@ def main():
             dt = time_apply(op, Xf, args.reps)
             label = getattr(op, "density_report", lambda: "")()
             print(f"  {name}: {label}")
-            rows.append((name, dt, F.nnz / dt / 1e9))
+            _row(rows, name, dt, F.nnz / dt / 1e9)
 
         # sized so the 128x128 A/B variant (~1.7% fill -> ~60x stored
         # inflation) still fits HBM next to the packed one
@@ -196,7 +203,7 @@ def main():
             dt = time_apply(op, Xg, args.reps)
             label = getattr(op, "density_report", lambda: "")()
             print(f"  {name}: {label}")
-            rows.append((name, dt, G.nnz / dt / 1e9))
+            _row(rows, name, dt, G.nnz / dt / 1e9)
 
         # skewed row-length problem (mean ~16 nnz/row, 8 half-dense rows):
         # pure ELL pads every row to n/2 — HYB caps the scan at the
@@ -221,7 +228,7 @@ def main():
         ]:
             op = mk()
             dt = time_apply(op, X, args.reps)
-            rows.append((f"{name}(skew)", dt, S.nnz / dt / 1e9))
+            _row(rows, f"{name}(skew)", dt, S.nnz / dt / 1e9)
 
     print(f"backend={jax.default_backend()}  n={n}  b={b}")
     print(f"{'format':>12} {'ms':>9} {'Gnnz/s':>8}")

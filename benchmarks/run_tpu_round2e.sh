@@ -51,4 +51,28 @@ print(json.dumps({"metric": "lap2d_512_k50_b8_f64", "value":
                   "kryl": int(res.kryl_dim)}))
 EOF
 
+echo "== generalized pencil bench re-spec: SA end (the LA end of a 1D FEM pencil clusters at rel gaps ~1/n^2 and cannot converge at any reasonable cap — measured 540 s unconverged; SA is the physically meaningful end: lowest vibration modes) =="
+timeout 1800 python - <<'EOF2' 2>&1 | log generalized_sa
+import json, time
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import rbl_tpu as rt
+
+n = 1 << 18
+h = 1.0 / (n + 1)
+A = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr() / h
+M = sp.diags([1.0, 4.0, 1.0], [-1, 0, 1], shape=(n, n)).tocsr() * (h / 6)
+cfg = rt.RBLConfig(block_size=8, basis_dtype=jnp.float32,
+                   compute_dtype=jnp.float32, tol=1e-3, max_kryl_dim=512)
+t0 = time.perf_counter()
+res = rt.rbl_generalized(A, M, 16, cfg=cfg, which="SA")
+el = time.perf_counter() - t0
+exact = (np.pi * np.arange(1, 17)) ** 2  # lowest modes of -u'' = l u
+rel = float(np.max(np.abs(np.sort(res.eigenvalues) - exact) / exact))
+print(json.dumps({"metric": "generalized_fem1d_262k_k16_sa", "value":
+                  round(el, 3), "unit": "s",
+                  "converged": bool(res.converged), "max_rel_err": rel}))
+EOF2
+
 echo "done"

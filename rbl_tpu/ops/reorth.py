@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .contract import gram
+from .contract import _CHUNK, _on_tpu, gram
 from .qr import block_qr
 from .spmm.operator import _pet
 
@@ -36,6 +36,34 @@ def project_out(basis, W):
     beyond the stored columns; W: (n, p)."""
     acc = _pet(W.dtype)
     G = gram(basis, W)
+    if W.dtype == jnp.float64 and _on_tpu() and basis.shape[0] > _CHUNK:
+        # X64Split materializes ~8 f32 components of the WHOLE basis for
+        # the (n, M)@(M, p) update (measured: f32[8, 262144, 776] = 7 GB
+        # at the 512² f64 headline — tpu_20260820_0803_f64.log).  Chunk
+        # the update over rows so only one chunk's components live at a
+        # time; each row's result is mathematically identical.
+        import jax
+
+        n = basis.shape[0]
+        c = -(-n // _CHUNK)
+        pad = c * _CHUNK - n
+        Bp = jnp.pad(basis, ((0, pad), (0, 0))) if pad else basis
+        Wp = jnp.pad(W, ((0, pad), (0, 0))) if pad else W
+        Gc = G.astype(basis.dtype)
+
+        def body(_, bw):
+            bch, wch = bw
+            upd = wch - jnp.dot(
+                bch, Gc, preferred_element_type=acc
+            ).astype(W.dtype)
+            return None, upd
+
+        _, out = jax.lax.scan(
+            body, None,
+            (Bp.reshape(c, _CHUNK, -1), Wp.reshape(c, _CHUNK, -1)),
+        )
+        out = out.reshape(c * _CHUNK, -1)
+        return out[:n] if pad else out
     return W - jnp.dot(basis, G.astype(basis.dtype), preferred_element_type=acc).astype(W.dtype)
 
 

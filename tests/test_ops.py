@@ -623,3 +623,18 @@ def test_gram_f64_scan_branch_matches_einsum(monkeypatch):
     monkeypatch.setattr(ct, "_on_tpu", lambda: True)
     G = np.asarray(ct.gram(X, Y))
     assert np.abs(G - ref).max() / np.abs(ref).max() < 1e-14
+
+
+def test_project_out_chunked_f64_branch_matches(monkeypatch):
+    """TPU-f64 row-chunked projection (X64Split OOM workaround) is
+    mathematically identical to the flat dot."""
+    import rbl_tpu.ops.contract as ct
+    import rbl_tpu.ops.reorth as ro
+
+    rng = np.random.default_rng(13)
+    B = jnp.asarray(np.linalg.qr(rng.standard_normal((20_000, 37)))[0])
+    W = jnp.asarray(rng.standard_normal((20_000, 6)))
+    ref = np.asarray(ro.project_out(B, W))
+    monkeypatch.setattr(ct, "_on_tpu", lambda: True)
+    out = np.asarray(ro.project_out(B, W))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-13

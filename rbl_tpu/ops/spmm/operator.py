@@ -377,17 +377,29 @@ def _pick_sparse_format(A, dtype) -> str:
 
     n = A.shape[0]
     coo = A.tocoo()
-    if count_diagonals(A) <= 64:
+    ndiags = count_diagonals(A)
+    if ndiags <= 64:
         return "dia"
     # the operator is built at dtype or, when unspecified, A's own dtype —
     # an f32/bf16 matrix with dtype=None must still reach the BSR branch
     itemsize = jnp.dtype(dtype if dtype is not None else A.dtype).itemsize
     if jax.default_backend() == "tpu" and itemsize <= 4:
+        from .pallas_bsr import (
+            _tile_census, modeled_bsr_apply_seconds, pick_tile_height,
+        )
+
+        # DIA vs BSR by calibrated time models (TPU v5e 2026-08-20,
+        # tpu_*_spmm3.log: a 99-diagonal real FEM matrix ran 0.68 ms DIA
+        # vs 1.64 ms best-BSR — the old hard <=64-diagonal rule missed
+        # it).  DIA streams A once plus one shifted X pass per diagonal
+        # at ~450 GB/s effective (measured); nominal b = 8.
+        if ndiags <= 256:  # DiaOperator's max_diags guard
+            dia_s = ndiags * n * (4 + 4 * 8) / 450e9
+            if dia_s < modeled_bsr_apply_seconds(A):
+                return "dia"
         # probe fill at the AUTO-TUNED tile height — the packed layout
         # stores several x fewer zeros than 128x128 blocked-ELL on
         # FEM-class matrices, which moves the BSR-vs-ELL crossover
-        from .pallas_bsr import _tile_census, pick_tile_height
-
         bm = pick_tile_height(A)
         _, ukey, _, _, _, _, _ = _tile_census(coo, bm, 128)
         fill = A.nnz / max(len(ukey) * bm * 128, 1)

@@ -279,30 +279,61 @@ def _tile_census(A, bm: int, bk: int):
     return key, ukey, ubr, ubc, counts, nb, ncb
 
 
+# Calibrated on TPU v5e 2026-08-20 (benchmarks/results/tpu_*_spmm3.log,
+# *_tile_sweep.log): each grid step costs ~0.25 us of pipeline overhead
+# — the HBM-time equivalent of ~200 kB at the ~800 GB/s roofline.  The
+# model reproduced the measured ordering on both benchmark fixtures
+# (fem3d: predicted 128x128 over 16x128, measured 1.64 vs 5.67 ms;
+# blocky: predicted and measured 16x128 ahead of 128x128).
+_STEP_COST_BYTES = 200_000
+_SMEM_TILE_IDS_BYTES = 512 * 1024
+
+
+def pick_tile_plan(A, bk: int = 128,
+                   heights=(128, 64, 32, 16),
+                   unrolls=(4, 8, 16)) -> tuple[int, int]:
+    """Jointly choose (tile height, unroll) minimizing modeled apply time.
+
+    Finer tiles store fewer zeros but multiply the grid-step count (each
+    step pays ~0.25 us of pipeline overhead — the dominant cost at small
+    tiles); larger unroll divides the step count but pads every row's
+    tile list to a multiple of U.  The 2-D grid runs nb x max(chunks)
+    steps (short rows idle through clamped no-op steps), so the step term
+    uses the MAX per-row chunk count.  Heights whose tile-id array would
+    overflow scalar memory (~1 MB SMEM, CLAUDE.md gotcha 6) are rejected.
+    """
+    best, best_cost = (heights[0], unrolls[0]), float("inf")
+    for bm in heights:
+        _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
+        for U in unrolls:
+            chunks = np.maximum(-(-counts // U), 1)
+            tiles_padded = int(chunks.sum()) * U
+            if tiles_padded * 4 > _SMEM_TILE_IDS_BYTES:
+                continue
+            bytes_tiles = tiles_padded * bm * bk * 4
+            steps = nb * int(chunks.max())
+            cost = bytes_tiles + steps * _STEP_COST_BYTES
+            if cost < best_cost:
+                best, best_cost = (bm, U), cost
+    return best
+
+
 def pick_tile_height(A, bk: int = 128, unroll: int = 4,
                      candidates=(128, 64, 32, 16)) -> int:
-    """Choose the row-tile height minimizing modeled HBM traffic.
+    """Tile height of the jointly-tuned plan (see pick_tile_plan)."""
+    return pick_tile_plan(A, bk=bk, heights=candidates)[0]
 
-    Finer tiles raise fill (fewer stored zeros) but add per-step pipeline
-    overhead and scalar-prefetch footprint; the model charges each row
-    U-alignment padding and each chunk a fixed-cost floor, and rejects
-    heights whose tile-id array would overflow scalar memory (~1 MB SMEM,
-    CLAUDE.md gotcha 6).
-    """
-    best, best_cost = candidates[0], float("inf")
-    for bm in candidates:
-        _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
-        chunks = np.maximum(-(-counts // unroll), 1)
-        tiles_padded = int(chunks.sum()) * unroll
-        if tiles_padded * 4 > 512 * 1024:  # tile_cols must fit in SMEM
-            continue
-        bytes_tiles = tiles_padded * bm * bk * 4
-        # per-chunk floor: ~150 ns of pipeline overhead ≈ 120 kB of HBM
-        # time at 800 GB/s — charges tiny tiles for their step count
-        cost = bytes_tiles + int(chunks.max()) * nb * 120_000 // 1000
-        if cost < best_cost:
-            best, best_cost = bm, cost
-    return best
+
+def modeled_bsr_apply_seconds(A, bk: int = 128,
+                              hbm_bw: float = 800e9) -> float:
+    """Modeled apply time of the best packed-BSR plan — used by the
+    format router to compare against the DIA model on equal terms."""
+    bm, U = pick_tile_plan(A, bk=bk)
+    _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
+    chunks = np.maximum(-(-counts // U), 1)
+    cost = (int(chunks.sum()) * U * bm * bk * 4
+            + nb * int(chunks.max()) * _STEP_COST_BYTES)
+    return cost / hbm_bw
 
 
 def _packed_bsr_from_scipy(A, bm: int, bk: int, unroll: int, dtype):
@@ -432,10 +463,12 @@ class BlockSparseOperator(LinearOperator):
         and False on TPU."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        if unroll is None:
-            unroll = 4
-        if bm is None:
+        if bm is None and unroll is None:
+            bm, unroll = pick_tile_plan(A, bk=bk)
+        elif bm is None:
             bm = pick_tile_height(A, bk=bk, unroll=unroll)
+        elif unroll is None:
+            unroll = 4
         tile_cols, hcount, rptr, vals, nb, ncb, H = _packed_bsr_from_scipy(
             A, bm, bk, unroll, dtype
         )

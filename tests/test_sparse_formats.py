@@ -290,14 +290,39 @@ def test_bsr_packed_matches_scipy_all_tile_heights(bm):
     )
 
 
-def test_bsr_tile_height_autotune_prefers_fine_tiles_on_fem():
-    """A real FEM elasticity matrix stores ~3x fewer zeros at 16x128 than
-    at 128x128 (measured: fill 5.6% -> 16-21%); the tuner must see that."""
-    from rbl_tpu.ops.spmm.pallas_bsr import pick_tile_height
+def test_bsr_tile_plan_calibrated_choices():
+    """The joint (tile height, unroll) tuner reproduces the TPU-measured
+    ordering (tpu_*_spmm3.log): scattered dense-node-block matrices go
+    fine-tiled (stored bytes dominate), and high unroll divides the
+    ~0.25 us/grid-step overhead everywhere."""
+    from rbl_tpu.ops.spmm.pallas_bsr import pick_tile_plan
     from rbl_tpu.utils.fem import fem_elasticity_3d
 
+    # blocky: random dense 16x16 blocks -> 128-tall tiles store ~7x more
+    # zeros; the plan must pick a fine tile
+    rng = np.random.default_rng(5)
+    nbn = 1024  # wide enough that the 14 blocks/row scatter (at 256 the
+    # pattern is ~44% dense at 128x128 and coarse tiles genuinely win)
+    rb = np.repeat(np.arange(nbn), 7)
+    cb = rng.integers(0, nbn, rb.size)
+    key = np.unique(
+        np.concatenate([rb, cb]).astype(np.int64) * nbn
+        + np.concatenate([cb, rb])
+    )
+    rb, cb = key // nbn, key % nbn
+    ii = (rb[:, None, None] * 16 + np.arange(16)[None, :, None]
+          ).repeat(16, axis=2).ravel()
+    jj = (cb[:, None, None] * 16 + np.arange(16)[None, None, :]
+          ).repeat(16, axis=1).ravel()
+    G = sp.coo_matrix(
+        (np.ones(ii.size, np.float32), (ii, jj)), shape=(nbn * 16, nbn * 16)
+    ).tocsr()
+    bm_g, u_g = pick_tile_plan(G)
+    assert bm_g <= 32
+    assert u_g >= 8
+
+    # the plan's operator is correct whatever it picks
     A = fem_elasticity_3d(8)
-    assert pick_tile_height(A) <= 32
     op = BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)
     rng = np.random.default_rng(2)
     X = rng.standard_normal((A.shape[0], 8)).astype(np.float32)

@@ -21,6 +21,14 @@ from .spmm.operator import _pet
 
 _CHUNK = 8192
 
+# Engage the f64-on-TPU sequential-scan paths only when X64Split's ~8x
+# f32 operand materialization would exceed this budget (HBM is 16 GB;
+# the solver holds the basis + pipeline buffers besides the temp).
+# Measured: a 256^2 f64 solve fits the fast einsum path (1.6 GB temps,
+# x2.7 over f32); 512^2 (6.5 GB) and the n=1e6 gate (7.7 GB) need the
+# scan to run at all.
+_X64_SPLIT_BUDGET_BYTES = 4 * 2**30
+
 
 def _pairwise_sum(P):
     """Pairwise (tree) reduction over axis 0 of the (c, p, q) partials."""
@@ -48,13 +56,16 @@ def gram(X, Y, chunk: int = _CHUNK, acc_dtype=None):
         Y = jnp.pad(Y, ((0, pad), (0, 0)))
     Xc = X.reshape(c, chunk, p)
     Yc = Y.reshape(c, chunk, q)
-    if jnp.result_type(X.dtype, Y.dtype) == jnp.float64 and _on_tpu():
+    if (jnp.result_type(X.dtype, Y.dtype) == jnp.float64 and _on_tpu()
+            and n * max(p, q) * 32 > _X64_SPLIT_BUDGET_BYTES):
         # X64Split emulation materializes ~8 f32 components of EACH
         # batched-einsum operand (measured: a (c=123, 8192, 70) f64
         # operand became an f32[8,123,8192,70] 3.84 GB temp and OOMed the
         # n=1e6 CI-gate config).  A sequential scan holds one chunk's
         # components at a time; the linear accumulation over c partials
         # adds O(c·eps) ≪ the O(chunk·eps) term already in the bound.
+        # Size-gated: the scan serializes what XLA would parallelize, so
+        # it engages only when the split temps wouldn't fit anyway.
         import jax
 
         def body(carry, xy):

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .contract import _CHUNK, _on_tpu, gram
+from .contract import _CHUNK, _X64_SPLIT_BUDGET_BYTES, _on_tpu, gram
 from .qr import block_qr
 from .spmm.operator import _pet
 
@@ -36,7 +36,9 @@ def project_out(basis, W):
     beyond the stored columns; W: (n, p)."""
     acc = _pet(W.dtype)
     G = gram(basis, W)
-    if W.dtype == jnp.float64 and _on_tpu() and basis.shape[0] > _CHUNK:
+    if (W.dtype == jnp.float64 and _on_tpu()
+            and basis.shape[0] * basis.shape[1] * 32
+            > _X64_SPLIT_BUDGET_BYTES):
         # X64Split materializes ~8 f32 components of the WHOLE basis for
         # the (n, M)@(M, p) update (measured: f32[8, 262144, 776] = 7 GB
         # at the 512² f64 headline — tpu_20260820_0803_f64.log).  Chunk

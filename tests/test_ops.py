@@ -621,6 +621,7 @@ def test_gram_f64_scan_branch_matches_einsum(monkeypatch):
     Y = jnp.asarray(rng.standard_normal((50_000, 5)))
     ref = np.asarray(ct.gram(X, Y))
     monkeypatch.setattr(ct, "_on_tpu", lambda: True)
+    monkeypatch.setattr(ct, "_X64_SPLIT_BUDGET_BYTES", 0)
     G = np.asarray(ct.gram(X, Y))
     assert np.abs(G - ref).max() / np.abs(ref).max() < 1e-14
 
@@ -636,5 +637,7 @@ def test_project_out_chunked_f64_branch_matches(monkeypatch):
     W = jnp.asarray(rng.standard_normal((20_000, 6)))
     ref = np.asarray(ro.project_out(B, W))
     monkeypatch.setattr(ct, "_on_tpu", lambda: True)
+    monkeypatch.setattr(ct, "_X64_SPLIT_BUDGET_BYTES", 0)
+    monkeypatch.setattr(ro, "_X64_SPLIT_BUDGET_BYTES", 0)
     out = np.asarray(ro.project_out(B, W))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-13

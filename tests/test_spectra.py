@@ -128,3 +128,26 @@ def test_mixed_precision_bf16_basis():
     res = rt.rbl(d.astype(np.float32), 4, 4, cfg=cfg)
     expect = np.sort(d)[::-1][:4]
     assert np.abs((res.eigenvalues - expect) / expect).max() < 5e-2
+
+
+def test_bf16_basis_headline_scheme():
+    """The benchmark's flagship mixed-precision scheme (bf16 basis
+    storage + f32 recurrence — the reference's FLOAT/DOUBLE split,
+    common.jl:5-6, mapped to TPU dtypes) must match the f32-basis solve
+    on a clustered 2D-Laplacian spectrum (the headline problem shape)."""
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+
+    op = rt.Laplacian2D(nx=64, ny=64, _dtype=jnp.float32)
+    ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, 65) / 65)
+    lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:20]
+    rels = {}
+    for bd in (jnp.float32, jnp.bfloat16):
+        cfg = rt.RBLConfig(block_size=8, basis_dtype=bd,
+                           compute_dtype=jnp.float32, qr_method="cholqr2",
+                           tol=1e-3, max_kryl_dim=256, eig_poll_cadence=16)
+        res = rt.rbl(op, 20, cfg=cfg)
+        rels[np.dtype(bd).name] = np.abs((res.eigenvalues - lam) / lam).max()
+    # bf16 storage must not degrade accuracy beyond the f32 run's level
+    assert rels["bfloat16"] < max(2 * rels["float32"], 5e-2)

@@ -31,6 +31,16 @@ def main():
                         "benchmarks/fetch_suitesparse.sh). N=42 is "
                         "hood-class (238k dof), N=64 ldoor-class (0.8M)")
     p.add_argument("--k", type=int, default=100)
+    p.add_argument("--permute", action="store_true",
+                   help="apply a random symmetric permutation first — the "
+                        "worst-case irregular ordering (destroys diagonal "
+                        "and block locality; real SuiteSparse orderings "
+                        "are better than this)")
+    p.add_argument("--rcm", action="store_true",
+                   help="apply reverse-Cuthill-McKee bandwidth reduction "
+                        "first — the standard preprocessing for "
+                        "irregularly-ordered matrices; typically restores "
+                        "a DIA/banded-friendly profile")
     p.add_argument("--blocks", default="4")
     p.add_argument("--tol", type=float, default=1e-7)
     p.add_argument("--arpack", action="store_true", help="cross-check with scipy eigsh")
@@ -55,18 +65,38 @@ def main():
 
     use_f64 = args.f64 or jax.default_backend() == "cpu"
 
+    def _reorder(A, label):
+        import scipy.sparse as sp_
+
+        if args.permute:
+            perm = np.random.default_rng(0).permutation(A.shape[0])
+            P = sp_.csr_matrix(
+                (np.ones(len(perm)), (np.arange(len(perm)), perm)),
+                shape=A.shape,
+            )
+            A = (P @ A @ P.T).tocsr()
+            label += " [random-permuted]"
+        if args.rcm:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True)
+            A = A.tocsr()[perm][:, perm].tocsr()
+            label += " [RCM]"
+        return A, label
+
     if args.matrix:
         from rbl_tpu.utils.suitesparse import load_matrix
 
-        A = load_matrix(args.matrix)
+        A, label = _reorder(load_matrix(args.matrix), args.matrix)
         op = rt.as_operator(A)
-        label = args.matrix
     elif args.fem3d:
         from rbl_tpu.utils.fem import fem_elasticity_3d
 
         A = fem_elasticity_3d(args.fem3d)
+        A, label = _reorder(
+            A, f"fem3d-elasticity-{args.fem3d}^3 (n={A.shape[0]}, nnz={A.nnz})"
+        )
         op = rt.as_operator(A.astype(np.float64 if use_f64 else np.float32))
-        label = f"fem3d-elasticity-{args.fem3d}^3 (n={A.shape[0]}, nnz={A.nnz})"
     elif args.laplacian:
         s = args.laplacian
         dt = jnp.float64 if use_f64 else jnp.float32

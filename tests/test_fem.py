@@ -60,3 +60,22 @@ def test_rbl_matches_arpack_on_fem_matrix():
     res = rt.rbl(rt.as_operator(A), 8, 4)
     d = spla.eigsh(A, k=8, which="LM", return_eigenvectors=False)[::-1]
     assert np.abs((res.eigenvalues - d) / d).max() < 1e-7
+
+
+def test_random_permutation_preserves_solution():
+    """Worst-case irregular ordering (examples/benchmark.py --permute):
+    eigenvalues are permutation-invariant and every routed format must
+    agree with the native-ordering solve."""
+    import rbl_tpu as rt
+
+    A = fem_elasticity_3d(5)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    import scipy.sparse as sp
+
+    P = sp.csr_matrix((np.ones(n), (np.arange(n), perm)), shape=(n, n))
+    Ap = (P @ A @ P.T).tocsr()
+    r1 = rt.rbl(rt.as_operator(A), 5, 4)
+    r2 = rt.rbl(rt.as_operator(Ap), 5, 4)
+    np.testing.assert_allclose(r1.eigenvalues, r2.eigenvalues, rtol=1e-8)

@@ -129,17 +129,17 @@ def main():
     Xs = jax.device_put(
         jnp.asarray(rng.standard_normal((n, b)), jnp.float32), sh
     )
+    # salted, device-chained timing (CLAUDE.md gotchas 3/4: repeated
+    # byte-identical applies can be served from a result cache on the
+    # remote backend, and block_until_ready can return early — the
+    # marginal-cost pattern from spmm_bench measures the real kernel)
+    from benchmarks.spmm_bench import time_apply
+
     for exch in ("ghost", "allgather"):
         op = ShardedCooSpMM.from_scipy(A, mesh, dtype=jnp.float32,
                                        exchange=exch)
         comm = op.comm_rows_per_apply()
-        app = jax.jit(op.apply)
-        jax.block_until_ready(app(Xs))
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = app(Xs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.reps
+        dt = time_apply(op, Xs, args.reps)
         print(f"coo-{exch:>9}: {dt*1e3:8.2f} ms/apply  "
               f"comm_rows={comm} ({comm/n:.1%} of n)")
         print(json.dumps({

@@ -85,7 +85,7 @@ def _cfg_with_tol_ncv(cfg, tol, ncv, k):
     return cfg
 
 
-def _be_split(A, k, cfg, return_eigenvectors, solve_half):
+def _be_split(A, k, cfg, return_eigenvectors, solve_half, strict=False):
     """ARPACK's BE convention: ⌈k/2⌉ pairs from the high end, ⌊k/2⌋ from
     the low — two independent half-solves via ``solve_half(kk, end,
     cfg_be)``, concatenated and sorted ascending.
@@ -107,6 +107,27 @@ def _be_split(A, k, cfg, return_eigenvectors, solve_half):
         for kk, end in ((k_hi, "LA"), (k_lo, "SA"))
         if kk > 0
     ]
+    if strict and not all(r.converged for r in parts):
+        # the maxiter/restarted path mirrors the non-BE contract: a
+        # half-solve that ran out of restarts must raise, not return a
+        # silently short or inaccurate spectrum (the plain paths stay
+        # best-effort, like their non-BE counterparts)
+        from scipy.sparse.linalg import ArpackNoConvergence
+
+        w_p = np.concatenate(
+            [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
+        )
+        V_p = (
+            np.concatenate(
+                [np.asarray(r.eigenvectors) for r in parts], axis=1
+            )
+            if all(r.eigenvectors is not None for r in parts)
+            else np.zeros((n or 0, 0))
+        )
+        raise ArpackNoConvergence(
+            f"BE half-solves did not converge ({len(w_p)}/{k} pairs)",
+            w_p, V_p,
+        )
     w = np.concatenate(
         [np.asarray(r.eigenvalues, dtype=np.float64) for r in parts]
     )
@@ -224,6 +245,7 @@ def eigsh(
                     A, kk, cfg=cfg_be, b=b or _default_block(kk),
                     max_restarts=int(maxiter), which=end, v0=v0,
                 ),
+                strict=True,
             )
         res = rbl_restarted(
             A, k, cfg=cfg, b=bsz, max_restarts=int(maxiter),

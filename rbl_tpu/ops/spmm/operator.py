@@ -363,7 +363,7 @@ class Laplacian3D(LinearOperator):
         return jnp.full((self.n,), 6.0, dtype=self.dtype)
 
 
-def _pick_sparse_format(A, dtype) -> str:
+def _pick_sparse_format(A, dtype):
     """Choose the TPU-native layout for a scipy sparse matrix.
 
     Measured on TPU v5e (9-diagonal banded, n = 131072, b = 8):
@@ -379,15 +379,23 @@ def _pick_sparse_format(A, dtype) -> str:
     coo = A.tocoo()
     ndiags = count_diagonals(A)
     if ndiags <= 64:
-        return "dia"
+        return "dia", None
     # the operator is built at dtype or, when unspecified, A's own dtype —
     # an f32/bf16 matrix with dtype=None must still reach the BSR branch
     itemsize = jnp.dtype(dtype if dtype is not None else A.dtype).itemsize
     if jax.default_backend() == "tpu" and itemsize <= 4:
         from .pallas_bsr import (
-            _tile_census, modeled_bsr_apply_seconds, pick_tile_height,
+            _tile_census, modeled_bsr_apply_seconds, pick_tile_plan,
         )
 
+        # ONE joint plan computation (the census is an O(nnz log nnz)
+        # host sort — threading the plan through from here to from_scipy
+        # avoids re-running it ~3x); plan is None when every candidate's
+        # tile-id array would overflow SMEM (huge matrices) — BSR is then
+        # unbuildable and the ELL/HYB fallbacks apply.
+        plan = pick_tile_plan(A)
+        bsr_s = (modeled_bsr_apply_seconds(A, plan=plan)
+                 if plan is not None else float("inf"))
         # DIA vs BSR by calibrated time models (TPU v5e 2026-08-20,
         # tpu_*_spmm3.log: a 99-diagonal real FEM matrix ran 0.68 ms DIA
         # vs 1.64 ms best-BSR — the old hard <=64-diagonal rule missed
@@ -395,23 +403,24 @@ def _pick_sparse_format(A, dtype) -> str:
         # at ~450 GB/s effective (measured); nominal b = 8.
         if ndiags <= 256:  # DiaOperator's max_diags guard
             dia_s = ndiags * n * (4 + 4 * 8) / 450e9
-            if dia_s < modeled_bsr_apply_seconds(A):
-                return "dia"
-        # probe fill at the AUTO-TUNED tile height — the packed layout
-        # stores several x fewer zeros than 128x128 blocked-ELL on
-        # FEM-class matrices, which moves the BSR-vs-ELL crossover
-        bm = pick_tile_height(A)
-        _, ukey, _, _, _, _, _ = _tile_census(coo, bm, 128)
-        fill = A.nnz / max(len(ukey) * bm * 128, 1)
-        if fill >= 0.02:
-            return "bsr"
+            if dia_s < bsr_s:
+                return "dia", None
+        if plan is not None:
+            # probe fill at the tuned height — the packed layout stores
+            # several x fewer zeros than 128x128 blocked-ELL on FEM-class
+            # matrices, which moves the BSR-vs-ELL crossover
+            bm = plan[0]
+            _, ukey, _, _, _, _, _ = _tile_census(coo, bm, 128)
+            fill = A.nnz / max(len(ukey) * bm * 128, 1)
+            if fill >= 0.02:
+                return "bsr", plan
     # ELL pads every row to the max row nnz: under row-length skew
     # (power-law graphs, a few dense rows) that multiplies memory and scan
     # length by the skew factor — route to HYB (capped ELL + COO overflow)
     row_nnz = _np.diff(A.tocsr().indptr)
     if row_nnz.size and row_nnz.max() > 4 * max(row_nnz.mean(), 1.0):
-        return "hyb"
-    return "ell"
+        return "hyb", None
+    return "ell", None
 
 
 def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
@@ -472,7 +481,11 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
                 return DiagonalOperator(
                     jnp.asarray(d, dtype=dtype or d.dtype)
                 )
-        fmt = format if format != "auto" else _pick_sparse_format(A, dtype)
+        plan = None
+        if format == "auto":
+            fmt, plan = _pick_sparse_format(A, dtype)
+        else:
+            fmt = format
         if fmt == "dia":
             from .dia import DiaOperator
 
@@ -481,7 +494,9 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
             from .pallas_bsr import BlockSparseOperator
 
             return BlockSparseOperator.from_scipy(
-                A, dtype=dtype or jnp.float32
+                A, dtype=dtype or jnp.float32,
+                bm=plan[0] if plan else None,
+                unroll=plan[1] if plan else None,
             )
         if fmt == "hyb":
             from .coo import HybOperator

@@ -302,7 +302,7 @@ def pick_tile_plan(A, bk: int = 128,
     uses the MAX per-row chunk count.  Heights whose tile-id array would
     overflow scalar memory (~1 MB SMEM, CLAUDE.md gotcha 6) are rejected.
     """
-    best, best_cost = (heights[0], unrolls[0]), float("inf")
+    best, best_cost = None, float("inf")
     for bm in heights:
         _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
         for U in unrolls:
@@ -315,20 +315,30 @@ def pick_tile_plan(A, bk: int = 128,
             cost = bytes_tiles + steps * _STEP_COST_BYTES
             if cost < best_cost:
                 best, best_cost = (bm, U), cost
+    # best is None when EVERY candidate's tile-id array overflows SMEM
+    # (huge matrices with many tiles per row) — the operator cannot be
+    # built; callers route to ELL/HYB instead
     return best
 
 
 def pick_tile_height(A, bk: int = 128, unroll: int = 4,
-                     candidates=(128, 64, 32, 16)) -> int:
-    """Tile height of the jointly-tuned plan (see pick_tile_plan)."""
-    return pick_tile_plan(A, bk=bk, heights=candidates)[0]
+                     candidates=(128, 64, 32, 16)):
+    """Tile height of the jointly-tuned plan (see pick_tile_plan), or
+    None when no plan fits SMEM."""
+    plan = pick_tile_plan(A, bk=bk, heights=candidates)
+    return plan[0] if plan is not None else None
 
 
-def modeled_bsr_apply_seconds(A, bk: int = 128,
-                              hbm_bw: float = 800e9) -> float:
-    """Modeled apply time of the best packed-BSR plan — used by the
-    format router to compare against the DIA model on equal terms."""
-    bm, U = pick_tile_plan(A, bk=bk)
+def modeled_bsr_apply_seconds(A, bk: int = 128, hbm_bw: float = 800e9,
+                              plan: tuple | None = None) -> float:
+    """Modeled apply time of the (given or best) packed-BSR plan — used
+    by the format router to compare against the DIA model on equal terms.
+    Returns inf when no plan fits SMEM."""
+    if plan is None:
+        plan = pick_tile_plan(A, bk=bk)
+    if plan is None:
+        return float("inf")
+    bm, U = plan
     _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
     chunks = np.maximum(-(-counts // U), 1)
     cost = (int(chunks.sum()) * U * bm * bk * 4
@@ -464,9 +474,21 @@ class BlockSparseOperator(LinearOperator):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if bm is None and unroll is None:
-            bm, unroll = pick_tile_plan(A, bk=bk)
+            plan = pick_tile_plan(A, bk=bk)
+            if plan is None:
+                raise ValueError(
+                    "no packed-BSR plan fits the scalar-prefetch budget "
+                    "for this matrix (too many tiles per row at every "
+                    "tile height) — use the ELL/HYB operators instead"
+                )
+            bm, unroll = plan
         elif bm is None:
             bm = pick_tile_height(A, bk=bk, unroll=unroll)
+            if bm is None:
+                raise ValueError(
+                    "no packed-BSR tile height fits the scalar-prefetch "
+                    "budget — use the ELL/HYB operators instead"
+                )
         elif unroll is None:
             unroll = 4
         tile_cols, hcount, rptr, vals, nb, ncb, H = _packed_bsr_from_scipy(

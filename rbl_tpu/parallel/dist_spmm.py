@@ -390,19 +390,13 @@ class ShardedBlockSparseOperator(LinearOperator):
         caps, L, bm, bk = self.caps, self.L, self.bm, self.bk
 
         def local_apply(cols_l, vals_l, send_l, x_local):
+            # same exchange protocol as the row-granularity operators,
+            # at (bk, b) BLOCK granularity: _ghost_exchange takes any
+            # leading-axis slab layout
             xb = x_local.reshape(ncb_local, bk, b)
-            ghosts = []
-            for s, cap in enumerate(caps, start=1):
-                if cap == 0:
-                    continue
-                off = sum(caps[: s - 1])
-                slab = jnp.take(xb, send_l[0, off : off + cap], axis=0)
-                perm = [(i, (i + s) % ndev) for i in range(ndev)]
-                ghosts.append(jax.lax.ppermute(slab, self.axis, perm=perm))
-            x_ext = (
-                x_local if not ghosts
-                else jnp.concatenate([xb, *ghosts], axis=0).reshape(-1, b)
-            )
+            x_ext = _ghost_exchange(
+                xb, send_l, caps, ndev, self.axis
+            ).reshape(-1, b)
             return bsr_spmm(
                 cols_l, vals_l, x_ext.astype(self.dtype),
                 bm=bm, bk=bk, L=L, unroll=self.unroll,

@@ -148,10 +148,23 @@ def rbl_restarted(
         res = _rbl_restarted_impl(
             op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0
         )
-        if which == "LA":
-            res.eigenvalues = res.eigenvalues - shift
-        elif which == "SA":
-            res.eigenvalues = shift - res.eigenvalues
+        if which != "LM":
+            # un-shift, then restore LanczosResult's documented order
+            # (descending |λ| — lanczos.py LanczosResult docstring): the
+            # sweep ordered by θ of the SHIFTED operator, which after
+            # un-shifting is ascending algebraic for SA / descending
+            # algebraic for LA, neither of which is descending |λ| when
+            # mixed signs are present
+            res.eigenvalues = (
+                res.eigenvalues - shift if which == "LA"
+                else shift - res.eigenvalues
+            )
+            order = np.argsort(-np.abs(res.eigenvalues), kind="stable")
+            res.eigenvalues = res.eigenvalues[order]
+            if res.eigenvectors is not None:
+                res.eigenvectors = np.asarray(res.eigenvectors)[:, order]
+            if getattr(res, "residual_bounds", None) is not None:
+                res.residual_bounds = np.asarray(res.residual_bounds)[order]
         return res
 
 

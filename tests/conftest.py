@@ -24,15 +24,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 
-# Persistent XLA compile cache: the suite's wall time is dominated by CPU
-# XLA compiles (hundreds of executables at per-test shapes); caching them
-# under .jax_cache cuts warm full-suite runs by roughly half.  Safe to
-# delete at any time; keyed by program + compiler version.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# OPT-IN persistent XLA compile cache (RBL_TEST_COMPILE_CACHE=1): cuts a
+# warm full-suite run to ~5 min, BUT reloading serialized CPU executables
+# that use buffer donation can abort the process (reproduced: a warm
+# rerun of test_sharded_generalized_pencil dies with SIGABRT inside
+# executable load — a JAX/XLA:CPU deserialization bug, not solver state).
+# Off by default for correctness; delete .jax_cache/ if a cached run
+# crashes.
+if os.environ.get("RBL_TEST_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402
 

@@ -225,3 +225,15 @@ def test_svds_which_sm_ascending():
     )
     s_only = rt.svds(B, k=4, which="SM", return_singular_vectors=False)
     np.testing.assert_allclose(np.sort(s_only), s_true, rtol=1e-8)
+
+
+def test_eigsh_be_maxiter_raises_on_nonconvergence():
+    """Review regression: BE with maxiter must raise ArpackNoConvergence
+    (like the non-BE maxiter path) instead of silently returning a
+    partial spectrum."""
+    from scipy.sparse.linalg import ArpackNoConvergence
+
+    d = np.linspace(1.0, 1.001, 400)  # pathologically clustered
+    A = sp.diags(d).tocsr()
+    with pytest.raises(ArpackNoConvergence):
+        rt.eigsh(A, k=8, which="BE", maxiter=1, ncv=10, tol=1e-14)

@@ -61,6 +61,7 @@ class TestFilterOperator:
 
 
 class TestRblFiltered:
+    @pytest.mark.slow  # ~23s; the collapse property also shows in test_slow_decay_both_ends's slow-tier run
     def test_laplacian_collapses_kryl_dim(self):
         # the headline-problem shape: top cluster spans <2% of ‖A‖; the
         # plain sweep runs to the cap without converging at this tol
@@ -78,6 +79,7 @@ class TestRblFiltered:
         assert res.kryl_dim + info.presweep_kryl <= 320
         assert np.max(res.residual_bounds) < 1e-5
 
+    @pytest.mark.slow  # ~18s
     def test_slow_decay_both_ends(self):
         n = 1000
         op = rt.DiagonalOperator(jnp.arange(1.0, n + 1.0))
@@ -105,6 +107,7 @@ class TestRblFiltered:
             rtol=1e-9,
         )
 
+    @pytest.mark.slow  # ~30s
     def test_psd_bounds_hint_lowers_degree(self):
         nx = 96
         op = rt.Laplacian2D(nx=nx, ny=nx)

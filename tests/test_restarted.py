@@ -59,3 +59,19 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(resumed.eigenvalues, a[::-1][:k], rtol=1e-10)
     # resume must genuinely continue: combined restarts > the single one
     assert resumed.iterations > 1
+
+
+def test_sa_la_respect_descending_abs_contract():
+    """Review regression: after un-shifting, SA/LA results must honor
+    LanczosResult's documented descending-|λ| order even with mixed-sign
+    spectra (eigenvalues[0] is the dominant pair)."""
+    import rbl_tpu as rt
+
+    d = np.concatenate([np.linspace(-50.0, -45.0, 5),
+                        np.linspace(1.0, 40.0, 95)])
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    for which in ("SA", "LA"):
+        res = rbl_restarted(op, 3, cfg=rt.RBLConfig(block_size=3, tol=1e-9),
+                            which=which)
+        mags = np.abs(res.eigenvalues)
+        assert np.all(np.diff(mags) <= 1e-12), (which, res.eigenvalues)

@@ -375,3 +375,18 @@ def test_bsr_packed_edge_shapes():
     Y2 = np.asarray(op2.apply(jnp.asarray(X2)))
     ref = (A2 @ X2.astype(np.float64)).astype(np.float32)
     assert np.abs(Y2 - ref).max() < 5e-6 * np.abs(ref).max()
+
+
+def test_bsr_plan_none_when_smem_overflows(monkeypatch):
+    """Review regression: when every (bm, U) candidate overflows the
+    scalar-prefetch budget, pick_tile_plan returns None, the model prices
+    it as inf, and from_scipy refuses with a clear error."""
+    import rbl_tpu.ops.spmm.pallas_bsr as pb
+
+    A = _messy_sym()
+    monkeypatch.setattr(pb, "_SMEM_TILE_IDS_BYTES", 0)
+    assert pb.pick_tile_plan(A) is None
+    assert pb.pick_tile_height(A) is None
+    assert pb.modeled_bsr_apply_seconds(A) == float("inf")
+    with pytest.raises(ValueError, match="scalar-prefetch budget"):
+        BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)

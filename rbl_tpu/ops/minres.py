@@ -198,8 +198,11 @@ class ShiftInvertOperator(LinearOperator):
     convergence tolerance — inner-solve error acts as a non-symmetric
     perturbation of OP that the outer residual bounds cannot see.
 
-    ``precond="jacobi"`` (the default) preconditions the inner MINRES with
-    the quantile-clamped Jacobi T of ``jacobi_psolve`` (d = diag(A) − σ)
+    ``precond="auto"`` (the default) uses the geometric multigrid
+    V-cycle for supported structured operators (ops/multigrid.py —
+    measured 11× fewer inner iterations on the Laplacian at σ = 0) and
+    otherwise falls back to Jacobi.  ``precond="jacobi"`` preconditions
+    with the quantile-clamped Jacobi T of ``jacobi_psolve`` (d = diag(A) − σ)
     whenever the operator can report its diagonal
     (``LinearOperator.diagonal()``; matrix-free/composite operators
     return None and run unpreconditioned) — for operators whose diagonal
@@ -212,7 +215,7 @@ class ShiftInvertOperator(LinearOperator):
     sigma: jax.Array  # 0-d
     inner_tol: float = static_field(default=1e-11)
     inner_maxiter: Optional[int] = static_field(default=None)
-    precond: str = static_field(default="jacobi")
+    precond: str = static_field(default="auto")
 
     @classmethod
     def shift(cls, base: LinearOperator, sigma: float, **kw):
@@ -230,7 +233,22 @@ class ShiftInvertOperator(LinearOperator):
 
     def apply(self, X: jax.Array) -> jax.Array:
         psolve = None
-        if self.precond == "jacobi":
+        if self.precond in ("mg", "auto"):
+            # geometric V-cycle for supported structured operators
+            # (ops/multigrid.py): measured 434 -> 38 inner iterations on
+            # the 128² Laplacian at sigma=0.  Approximates A⁻¹, so it is
+            # the right preconditioner for sigma at/near 0 ("SM", lowest
+            # modes); "auto" falls through to Jacobi when unsupported.
+            from .multigrid import mg_psolve_for
+
+            psolve = mg_psolve_for(self.base)
+            if psolve is None and self.precond == "mg":
+                raise ValueError(
+                    "precond='mg' requires a supported structured "
+                    "operator (Laplacian2D with even dims) — use "
+                    "'jacobi', 'auto', or 'none'"
+                )
+        if psolve is None and self.precond in ("jacobi", "auto"):
             d = self.base.diagonal()
             if d is not None:
                 psolve = jacobi_psolve(d.astype(self.dtype) - self.sigma)

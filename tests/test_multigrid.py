@@ -1,0 +1,89 @@
+"""Geometric multigrid preconditioner (ops/multigrid.py) — NEXT.md item 1
+delivered for the structured stencil operators.  The inner-iteration
+counts asserted here are hardware-independent; they are the quantity the
+TPU shift-invert wall-clock follows from."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import rbl_tpu as rt
+from rbl_tpu.ops.minres import ShiftInvertOperator, block_minres
+from rbl_tpu.ops.multigrid import MultigridCycle2D, mg_psolve_for
+
+
+def test_vcycle_is_spd_and_contracts():
+    op = rt.Laplacian2D(nx=64, ny=64, _dtype=jnp.float64)
+    ps = mg_psolve_for(op)
+    assert ps is not None
+    rng = np.random.default_rng(0)
+    n = 64 * 64
+    b = jnp.asarray(rng.standard_normal((n, 2)))
+    # stationary iteration contracts
+    x = jnp.zeros_like(b)
+    r0 = np.linalg.norm(np.asarray(b))
+    for _ in range(6):
+        x = x + ps(b - op.apply(x))
+    assert np.linalg.norm(np.asarray(b - op.apply(x))) / r0 < 0.05
+    # symmetry + positive definiteness (PMINRES requirements)
+    u = jnp.asarray(rng.standard_normal((n, 1)))
+    v = jnp.asarray(rng.standard_normal((n, 1)))
+    s1 = float(u[:, 0] @ ps(v)[:, 0])
+    s2 = float(v[:, 0] @ ps(u)[:, 0])
+    assert abs(s1 - s2) <= 1e-12 * abs(s1)
+    assert float(u[:, 0] @ ps(u)[:, 0]) > 0
+
+
+def test_mg_cuts_minres_iterations_10x():
+    """Measured 434 -> 38 at 128²; the gate asserts >= 5x with margin."""
+    op = rt.Laplacian2D(nx=128, ny=128, _dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    B = jnp.asarray(rng.standard_normal((128 * 128, 4)))
+    _, (it_none, _) = block_minres(
+        op.apply, B, shift=jnp.asarray(0.0), tol=1e-10
+    )
+    _, (it_mg, _) = block_minres(
+        op.apply, B, shift=jnp.asarray(0.0), tol=1e-10,
+        psolve=mg_psolve_for(op),
+    )
+    assert int(it_mg) * 5 <= int(it_none)
+    assert int(it_mg) < 60
+
+
+def test_eigsh_sm_with_auto_mg_matches_analytic():
+    op = rt.Laplacian2D(nx=64, ny=64, _dtype=jnp.float64)
+    ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, 65) / 65)
+    exact = np.sort(np.add.outer(ev1, ev1).ravel())[:4]
+    w, V = rt.eigsh(op, k=4, which="SM", tol=1e-8)
+    assert np.abs((np.sort(w) - exact) / exact).max() < 1e-8
+    R = np.asarray(op.apply(jnp.asarray(V))) - V * w[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6
+
+
+def test_mg_unsupported_falls_back_and_strict_raises():
+    d = rt.DiagonalOperator(jnp.linspace(1.0, 100.0, 500))
+    # auto: falls back to jacobi silently
+    si = ShiftInvertOperator.shift(d, 0.0, precond="auto")
+    Y = si.apply(jnp.ones((500, 2)))
+    assert np.all(np.isfinite(np.asarray(Y)))
+    # strict mg: clear error
+    with pytest.raises(ValueError, match="precond='mg'"):
+        ShiftInvertOperator.shift(d, 0.0, precond="mg").apply(
+            jnp.ones((500, 2))
+        )
+
+
+def test_galerkin_levels_stay_spd():
+    """Every coarse-level operator must stay SPD (the cycle's SPD-ness
+    rests on it)."""
+    S = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
+    cyc = MultigridCycle2D(128, 128, S)
+    from rbl_tpu.ops.multigrid import _dense_coarse_inverse_2d
+
+    for lvl, St in enumerate(cyc.stencils + [cyc.coarse_stencil]):
+        # center dominates and the 3x3 is symmetric
+        assert St[1, 1] > 0
+        np.testing.assert_allclose(St, St[::-1, ::-1], atol=1e-14)
+    w = np.linalg.eigvalsh(np.linalg.inv(cyc.coarse_inv))
+    assert w.min() > 0

@@ -149,8 +149,9 @@ class MultigridCycle2D:
             x, y = self.coarse_size
             return (ci @ R.reshape(x * y, -1)).reshape(x, y, -1)
         S = self.stencils[level]
-        d = S[1, 1]
-        w = self.omega / d
+        # python float, NOT np.float64: a numpy scalar is strongly typed
+        # and would promote an f32 cycle to f64 under x64 mode
+        w = float(self.omega / S[1, 1])
         E = w * R  # first Jacobi sweep from zero initial guess
         for _ in range(self.nu - 1):
             E = E + w * (R - _stencil_apply_2d(E, S))

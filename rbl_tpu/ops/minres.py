@@ -200,8 +200,11 @@ class ShiftInvertOperator(LinearOperator):
 
     ``precond="auto"`` (the default) uses the geometric multigrid
     V-cycle for supported structured operators (ops/multigrid.py —
-    measured 11× fewer inner iterations on the Laplacian at σ = 0) and
-    otherwise falls back to Jacobi.  ``precond="jacobi"`` preconditions
+    measured 11× fewer inner iterations on the Laplacian at σ = 0) when
+    the shift is small against a diagonal-based ‖A‖ estimate (the cycle
+    approximates A⁻¹, which only helps near the bottom of the spectrum),
+    and otherwise falls back to Jacobi.  ``shift()`` resolves "auto" at
+    construction (the choice must be jit-static).  ``precond="jacobi"`` preconditions
     with the quantile-clamped Jacobi T of ``jacobi_psolve`` (d = diag(A) − σ)
     whenever the operator can report its diagonal
     (``LinearOperator.diagonal()``; matrix-free/composite operators
@@ -219,9 +222,34 @@ class ShiftInvertOperator(LinearOperator):
 
     @classmethod
     def shift(cls, base: LinearOperator, sigma: float, **kw):
+        # Resolve "auto" HERE, where sigma is a concrete float: the MG
+        # V-cycle approximates A⁻¹, which only preconditions (A − σI)
+        # well while |σ| is small against ‖A‖ — for interior shifts the
+        # 1 − σ/λ spectrum is badly spread at the small-λ end and MG can
+        # be worse than Jacobi (ADVICE r2).  The decision must also be
+        # static (apply may trace with sigma as a tracer leaf).
+        if kw.get("precond", "auto") == "auto":
+            kw["precond"] = cls._resolve_auto(base, float(sigma))
         return cls(
             base=base, sigma=jnp.asarray(sigma, dtype=base.dtype), **kw
         )
+
+    @staticmethod
+    def _resolve_auto(base: LinearOperator, sigma: float) -> str:
+        """'mg' when a V-cycle exists for ``base`` AND σ sits in the
+        bottom of the spectrum (|σ| ≤ c·‖A‖ with ‖A‖ estimated from the
+        diagonal — 2·max|d| is exact for the model Laplacians and a
+        Gershgorin-flavored proxy generally); else 'jacobi'."""
+        from .multigrid import mg_psolve_for
+
+        if mg_psolve_for(base) is None:
+            return "jacobi"
+        d = base.diagonal()
+        if d is not None:
+            norm_est = 2.0 * float(jnp.max(jnp.abs(d)))
+            if abs(sigma) > 0.125 * norm_est:
+                return "jacobi"
+        return "mg"
 
     @property
     def shape(self):
@@ -232,23 +260,34 @@ class ShiftInvertOperator(LinearOperator):
         return self.base.dtype
 
     def apply(self, X: jax.Array) -> jax.Array:
+        precond = self.precond
+        if precond == "auto":
+            # ``shift()`` resolves "auto" at construction; a direct
+            # dataclass construction can reach here with a possibly
+            # traced sigma — resolve if concrete, else fall back to
+            # Jacobi (the safe choice for an unknown shift).
+            try:
+                precond = self._resolve_auto(self.base, float(self.sigma))
+            except (jax.errors.ConcretizationTypeError, TypeError):
+                precond = "jacobi"
         psolve = None
-        if self.precond in ("mg", "auto"):
+        if precond == "mg":
             # geometric V-cycle for supported structured operators
             # (ops/multigrid.py): measured 434 -> 38 inner iterations on
             # the 128² Laplacian at sigma=0.  Approximates A⁻¹, so it is
             # the right preconditioner for sigma at/near 0 ("SM", lowest
-            # modes); "auto" falls through to Jacobi when unsupported.
+            # modes).
             from .multigrid import mg_psolve_for
 
             psolve = mg_psolve_for(self.base)
-            if psolve is None and self.precond == "mg":
+            if psolve is None:
                 raise ValueError(
                     "precond='mg' requires a supported structured "
-                    "operator (Laplacian2D with even dims) — use "
-                    "'jacobi', 'auto', or 'none'"
+                    "operator (Laplacian2D with even dims, hierarchy "
+                    "bottoming out near 8x8) — use 'jacobi', 'auto', "
+                    "or 'none'"
                 )
-        if psolve is None and self.precond in ("jacobi", "auto"):
+        if psolve is None and precond == "jacobi":
             d = self.base.diagonal()
             if d is not None:
                 psolve = jacobi_psolve(d.astype(self.dtype) - self.sigma)

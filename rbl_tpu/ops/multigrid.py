@@ -119,6 +119,21 @@ def _dense_coarse_inverse_2d(S: np.ndarray, nx: int, ny: int) -> np.ndarray:
     return np.linalg.inv(A)
 
 
+def _COARSE_CELL_CAP(coarsest: int) -> int:
+    """Max cells allowed on the coarsest level (it gets a dense inverse):
+    the hierarchy may legitimately stop one halving early on non-square
+    or odd-factor grids (e.g. 12*2^k), so allow up to (2*coarsest)^2."""
+    return 4 * coarsest * coarsest
+
+
+def _hierarchy_bottom(nx: int, ny: int, coarsest: int = 8) -> tuple[int, int]:
+    """Where the 2x-coarsening hierarchy for (nx, ny) stops."""
+    x, y = nx, ny
+    while x % 2 == 0 and y % 2 == 0 and min(x, y) > coarsest:
+        x, y = x // 2, y // 2
+    return x, y
+
+
 class MultigridCycle2D:
     """One symmetric V-cycle ≈ A⁻¹ for a constant-coefficient 3x3 stencil
     on an (nx, ny) grid with Dirichlet boundaries.  SPD as an operator
@@ -137,6 +152,19 @@ class MultigridCycle2D:
             sizes.append((x, y))
             S = _galerkin_stencil_2d(S)
             x, y = x // 2, y // 2
+        # The loop stops at the first odd dimension, wherever that is.  A
+        # grid like 1026x1026 goes odd after ONE halving (513x513), and
+        # the dense coarsest inverse below is O((x*y)^3) memory/work — a
+        # silent hang/OOM, not a preconditioner.  Refuse to build unless
+        # the hierarchy bottomed out near the intended coarsest size;
+        # mg_psolve_for pre-checks the same bound and falls back cleanly.
+        if x * y > _COARSE_CELL_CAP(coarsest):
+            raise ValueError(
+                f"multigrid hierarchy for {nx}x{ny} bottoms out at "
+                f"{x}x{y} (> {_COARSE_CELL_CAP(coarsest)} cells): grid "
+                "dims must be divisible by 2 enough times to reach the "
+                f"~{coarsest}x{coarsest} coarsest level"
+            )
         self.coarse_size = (x, y)
         self.coarse_stencil = S
         self.sizes = sizes
@@ -176,10 +204,16 @@ def _cycle_for_lap2d(nx: int, ny: int) -> MultigridCycle2D:
 
 def mg_psolve_for(op):
     """Return a V-cycle psolve for a supported structured operator, or
-    None (callers fall back to Jacobi/unpreconditioned)."""
+    None (callers fall back to Jacobi/unpreconditioned).  Requires the
+    2x-coarsening hierarchy to bottom out near the coarsest target —
+    a grid that goes odd early (e.g. 1026 -> 513) would otherwise get a
+    dense inverse of the whole remaining level (ADVICE r2, medium)."""
     from .spmm.operator import Laplacian2D
 
     if isinstance(op, Laplacian2D) and op.nx % 2 == 0 and op.ny % 2 == 0:
+        x, y = _hierarchy_bottom(op.nx, op.ny)
+        if x * y > _COARSE_CELL_CAP(8):
+            return None
         cyc = _cycle_for_lap2d(op.nx, op.ny)
         return cyc.psolve
     return None

@@ -308,7 +308,12 @@ def pick_tile_plan(A, bk: int = 128,
         for U in unrolls:
             chunks = np.maximum(-(-counts // U), 1)
             tiles_padded = int(chunks.sum()) * U
-            if tiles_padded * 4 > _SMEM_TILE_IDS_BYTES:
+            # SMEM holds ALL THREE scalar-prefetch arrays: tile_cols
+            # (tiles_padded), plus hcount and rptr (nb each) — at fine
+            # tile heights on large n the nb terms dominate and a
+            # tile-ids-only check would pass plans that fail at kernel
+            # build (ADVICE r2).
+            if (tiles_padded + 2 * nb) * 4 > _SMEM_TILE_IDS_BYTES:
                 continue
             bytes_tiles = tiles_padded * bm * bk * 4
             steps = nb * int(chunks.max())

@@ -87,3 +87,32 @@ def test_galerkin_levels_stay_spd():
         np.testing.assert_allclose(St, St[::-1, ::-1], atol=1e-14)
     w = np.linalg.eigvalsh(np.linalg.inv(cyc.coarse_inv))
     assert w.min() > 0
+
+
+def test_hierarchy_bound_rejects_early_odd_grids():
+    """ADVICE r2 (medium): a grid that goes odd after one halving
+    (1026 -> 513) must NOT get a dense 513x513-cells coarsest inverse —
+    mg_psolve_for returns None (Jacobi fallback) and the class raises."""
+    op = rt.Laplacian2D(nx=1026, ny=1026, _dtype=jnp.float64)
+    assert mg_psolve_for(op) is None
+    S = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
+    with pytest.raises(ValueError, match="bottoms out"):
+        MultigridCycle2D(1026, 1026, S)
+    # 130 -> 65: also rejected (65*65 = 4225 cells > cap)
+    assert mg_psolve_for(
+        rt.Laplacian2D(nx=130, ny=130, _dtype=jnp.float64)
+    ) is None
+    # auto on such a grid must resolve to jacobi, not hang
+    si = ShiftInvertOperator.shift(op, 0.0, precond="auto")
+    assert si.precond == "jacobi"
+
+
+def test_auto_resolves_by_shift_magnitude():
+    """ADVICE r2 (low): auto uses MG only while |sigma| is small against
+    the diagonal-based norm estimate; interior shifts get Jacobi."""
+    op = rt.Laplacian2D(nx=64, ny=64, _dtype=jnp.float64)
+    assert ShiftInvertOperator.shift(op, 0.0).precond == "mg"
+    assert ShiftInvertOperator.shift(op, 0.5).precond == "mg"
+    # |sigma| = 4 = half the spectrum width: interior -> jacobi
+    assert ShiftInvertOperator.shift(op, 4.0).precond == "jacobi"
+    assert ShiftInvertOperator.shift(op, -4.0).precond == "jacobi"

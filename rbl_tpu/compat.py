@@ -18,8 +18,10 @@ Differences from ARPACK, stated rather than hidden:
   the explicitly restarted solver (``rbl_restarted``) with
   ``max_restarts = maxiter`` and per-cycle sweep length ``ncv``;
   non-convergence raises scipy's own ``ArpackNoConvergence`` carrying the
-  partial results.  On the shift-invert paths (``sigma``/``which="SM"``)
-  ``maxiter`` is ignored — the inner MINRES has its own iteration cap.
+  partial results.  This holds on every path, including shift-invert
+  (``sigma``/``which="SM"``, where the restarted sweep runs on the
+  transformed operator and the inner MINRES keeps its own iteration cap)
+  and generalized pencils.
 - ``tol`` is the Ritz-pair residual-bound tolerance ‖A·x − θx‖ (the
   reference's absolute semantics, RBL.jl:109); scipy's ``tol=0``
   ("machine precision") maps to the solver default 1e-7 — the exact
@@ -138,6 +140,24 @@ def _be_split(A, k, cfg, return_eigenvectors, solve_half, strict=False):
     return w[order], V[:, order]
 
 
+def _rayleigh_from_op(op, res, sigma: float):
+    """(λ, X) for a shift-invert solve: λ from the Rayleigh quotient with
+    the ORIGINAL A — more accurate than σ + 1/θ, which inherits the inner
+    MINRES error in θ.  Zero columns (defensive) fall back to σ + 1/θ."""
+    import jax.numpy as jnp
+
+    theta = np.asarray(res.eigenvalues, dtype=np.float64)
+    X = np.asarray(res.eigenvectors)
+    if X.shape[1] == 0:
+        return theta[:0], X
+    AX = np.asarray(op.apply(jnp.asarray(X, dtype=op.dtype)))
+    num = np.einsum("ij,ij->j", X, AX)
+    den = np.einsum("ij,ij->j", X, X)
+    w = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                 sigma + 1.0 / theta)
+    return w, X
+
+
 def _default_block(k: int) -> int:
     # the reference benchmarks b ∈ {1,2,4,8} at k=100 (benchmark.jl:29-36)
     # and larger blocks amortize both MXU width and per-chunk dispatch cost;
@@ -202,7 +222,7 @@ def eigsh(
             )
         return _eigsh_generalized(
             A, k, M, which=which, user_which=user_which, sigma=sigma,
-            mode=mode, v0=v0, ncv=ncv, tol=tol,
+            mode=mode, v0=v0, ncv=ncv, tol=tol, maxiter=maxiter,
             return_eigenvectors=return_eigenvectors, cfg=cfg, b=b,
         )
     if sigma is None and which == "SM":
@@ -276,21 +296,35 @@ def eigsh(
         # (floored by what THIS dtype's MINRES can honestly reach).
         inner_tol = default_inner_tol(op.dtype, cfg.tol)
         si = ShiftInvertOperator.shift(op, float(sigma), inner_tol=inner_tol)
-        res = rbl(
-            si, k, b=bsz, cfg=cfg, which=which,
-            compute_eigenvectors=True, v0=v0,
-        )
-        theta = np.asarray(res.eigenvalues, dtype=np.float64)
-        X = np.asarray(res.eigenvectors)
-        # λ from the Rayleigh quotient with the ORIGINAL A — more accurate
-        # than σ + 1/θ, which inherits the inner-solve error in θ
-        import jax.numpy as jnp
+        if maxiter is not None:
+            # ARPACK's maxiter bounds implicit restarts in shift-invert
+            # mode too: run the explicitly restarted solver ON the
+            # transformed operator (which selects in θ = 1/(λ−σ) space,
+            # exactly as the plain path below), raising scipy's
+            # ArpackNoConvergence on exhaustion (VERDICT r2 item 8 —
+            # this was previously documented-but-ignored).
+            from .solver.restarted import rbl_restarted
 
-        AX = np.asarray(op.apply(jnp.asarray(X, dtype=op.dtype)))
-        num = np.einsum("ij,ij->j", X, AX)
-        den = np.einsum("ij,ij->j", X, X)
-        w = np.where(den > 0, num / np.where(den > 0, den, 1.0),
-                     float(sigma) + 1.0 / theta)
+            if ncv is not None:
+                cfg = cfg.replace(restart_kryl_dim=int(ncv))
+            res = rbl_restarted(
+                si, k, cfg=cfg, b=bsz, max_restarts=int(maxiter),
+                which=which, v0=v0,
+            )
+            if not res.converged:
+                from scipy.sparse.linalg import ArpackNoConvergence
+
+                w_p, X_p = _rayleigh_from_op(op, res, float(sigma))
+                raise ArpackNoConvergence(
+                    f"No convergence within {maxiter} restarts "
+                    f"({len(w_p)}/{k} eigenpairs locked)", w_p, X_p,
+                )
+        else:
+            res = rbl(
+                si, k, b=bsz, cfg=cfg, which=which,
+                compute_eigenvectors=True, v0=v0,
+            )
+        w, X = _rayleigh_from_op(op, res, float(sigma))
         order = _scipy_eig_order(w, user_which, return_eigenvectors)
         if not return_eigenvectors:
             return w[order]
@@ -323,7 +357,7 @@ def eigsh(
 
 
 def _eigsh_generalized(
-    A, k, M, *, which, user_which, sigma, mode, v0, ncv, tol,
+    A, k, M, *, which, user_which, sigma, mode, v0, ncv, tol, maxiter,
     return_eigenvectors, cfg, b
 ):
     """The M-branch of ``eigsh``: A·x = λ·M·x with SPD M, solved by
@@ -332,17 +366,37 @@ def _eigsh_generalized(
     With ``sigma``, mode-3 generalized shift-invert (the symmetric
     W = M^{1/2}·(A−σM)^{−1}·M^{1/2} with a blocked-MINRES inner solve) —
     ``which`` selects in ν = 1/(λ−σ) space, ARPACK's convention.
+    ``maxiter`` routes the transformed sweep through the restarted solver
+    (max_restarts = maxiter) and raises ``ArpackNoConvergence`` on
+    exhaustion, exactly like the standard-problem paths.
     Returned eigenvectors are M-orthonormal, matching ARPACK."""
     from .solver.generalized import rbl_generalized
 
     cfg = _cfg_with_tol_ncv(cfg, tol, ncv, k)
+    if maxiter is not None and ncv is not None:
+        cfg = cfg.replace(restart_kryl_dim=int(ncv))
+    mr = None if maxiter is None else int(maxiter)
+
+    def _raise_if_exhausted(res):
+        if mr is not None and not res.converged:
+            from scipy.sparse.linalg import ArpackNoConvergence
+
+            w_p = np.asarray(res.eigenvalues, dtype=np.float64)
+            V_p = (np.asarray(res.eigenvectors)
+                   if res.eigenvectors is not None
+                   else np.zeros((_operand_n(A) or 0, 0)))
+            raise ArpackNoConvergence(
+                f"No convergence within {maxiter} restarts "
+                f"({len(w_p)}/{k} eigenpairs locked)", w_p, V_p,
+            )
+        return res
 
     if sigma is not None:
-        res = rbl_generalized(
+        res = _raise_if_exhausted(rbl_generalized(
             A, M, k, b=b or _default_block(k), cfg=cfg, which=which,
-            sigma=float(sigma), mode=mode,
+            sigma=float(sigma), mode=mode, max_restarts=mr,
             compute_eigenvectors=return_eigenvectors, v0=v0,
-        )
+        ))
         w = np.asarray(res.eigenvalues, dtype=np.float64)
         order = _scipy_eig_order(w, user_which, return_eigenvectors)
         if not return_eigenvectors:
@@ -354,14 +408,17 @@ def _eigsh_generalized(
             A, k, cfg, return_eigenvectors,
             lambda kk, end, cfg_be: rbl_generalized(
                 A, M, kk, b=b or _default_block(kk), cfg=cfg_be, which=end,
+                max_restarts=mr,
                 compute_eigenvectors=return_eigenvectors, v0=v0,
             ),
+            strict=mr is not None,
         )
 
-    res = rbl_generalized(
+    res = _raise_if_exhausted(rbl_generalized(
         A, M, k, b=b or _default_block(k), cfg=cfg, which=which,
+        max_restarts=mr,
         compute_eigenvectors=return_eigenvectors, v0=v0,
-    )
+    ))
     w = np.asarray(res.eigenvalues, dtype=np.float64)
     order = _scipy_eig_order(w, which, return_eigenvectors)
     if not return_eigenvectors:

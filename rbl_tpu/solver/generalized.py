@@ -126,6 +126,23 @@ def _pencil_refine(opA, opM, P, Y, cdt, bnorm="M"):
     return lam, rn, Xn
 
 
+def _sweep_or_restarted(Wop, k, cfg, which, v0, max_restarts,
+                        norm_bound=None):
+    """The transformed-operator sweep, optionally under a restart budget
+    (the ARPACK ``maxiter`` analogue — VERDICT r2 item 8)."""
+    if max_restarts is not None:
+        from .restarted import rbl_restarted
+
+        return rbl_restarted(
+            Wop, k, cfg=cfg, b=cfg.block_size,
+            max_restarts=int(max_restarts), which=which, v0=v0,
+        )
+    return rbl(
+        Wop, k, cfg=cfg, which=which, compute_eigenvectors=True, v0=v0,
+        norm_bound=norm_bound,
+    )
+
+
 def rbl_generalized(
     A: Any,
     M: Any,
@@ -144,6 +161,7 @@ def rbl_generalized(
     compute_eigenvectors: bool = True,
     v0=None,
     return_info: bool = False,
+    max_restarts: Optional[int] = None,
 ):
     """k extreme eigenpairs of the symmetric-definite pencil (A, M),
     A·x = λ·M·x with M SPD.
@@ -175,6 +193,10 @@ def rbl_generalized(
     inner_tol: relative residual target of the blocked-MINRES inner
         solves under ``sigma`` (default: ``default_inner_tol`` — 1e-4·tol
         floored at the compute dtype's honest MINRES floor).
+    max_restarts: when set, the transformed-operator sweep runs through
+        the explicitly restarted solver (``rbl_restarted``) with this
+        restart budget — the ARPACK ``maxiter`` analogue (sweep length =
+        ``cfg.restart_kryl_dim``); ``converged=False`` on exhaustion.
     m_bounds: optional (λ_min(M), λ_max(M)) overrides (either entry may be
         None).  When absent, both ends are certified by short extreme-end
         solves on M widened by their residual bounds.  λ_min must be
@@ -298,9 +320,8 @@ def rbl_generalized(
                     opA, jax.random.PRNGKey(cfg.seed + 7)
                 ))
                 nb_S = 1.05 * nrmA / lo
-            res = rbl(
-                S, k, cfg=cfg, which=which, compute_eigenvectors=True,
-                v0=v0, norm_bound=nb_S,
+            res = _sweep_or_restarted(
+                S, k, cfg, which, v0, max_restarts, norm_bound=nb_S,
             )
         else:
             # --- interior: W = B^{1/2}·(A − σM)^{−1}·B^{1/2} ---
@@ -321,9 +342,7 @@ def rbl_generalized(
                 from ..ops.spmm.operator import AffineOperator
 
                 W = AffineOperator.shift(W, 2.0 * float(sigma), 1.0)
-            res = rbl(
-                W, k, cfg=cfg, which=which, compute_eigenvectors=True, v0=v0
-            )
+            res = _sweep_or_restarted(W, k, cfg, which, v0, max_restarts)
 
         # --- recovery + true-pencil validation ---
         # (both branches: x = P·y = B^{−1/2}·y up to series error, then

@@ -198,13 +198,15 @@ class ShiftInvertOperator(LinearOperator):
     convergence tolerance — inner-solve error acts as a non-symmetric
     perturbation of OP that the outer residual bounds cannot see.
 
-    ``precond="auto"`` (the default) uses the geometric multigrid
-    V-cycle for supported structured operators (ops/multigrid.py —
-    measured 11× fewer inner iterations on the Laplacian at σ = 0) when
-    the shift is small against a diagonal-based ‖A‖ estimate (the cycle
-    approximates A⁻¹, which only helps near the bottom of the spectrum),
-    and otherwise falls back to Jacobi.  ``shift()`` resolves "auto" at
-    construction (the choice must be jit-static).  ``precond="jacobi"`` preconditions
+    ``precond="auto"`` (the default) resolves, in order: "fdm" — the
+    EXACT fast-diagonalization shifted solve for Kronecker-sum operators
+    (ops/fdm.py; a handful of MXU matmuls replace the whole inner
+    iteration, any σ); "mg" — the geometric multigrid V-cycle for
+    supported structured operators (ops/multigrid.py) when the shift is
+    small against a diagonal-based ‖A‖ estimate (the cycle approximates
+    A⁻¹, which only helps near the bottom of the spectrum); else Jacobi.
+    ``shift()`` resolves "auto" at construction (the choice must be
+    jit-static).  ``precond="jacobi"`` preconditions
     with the quantile-clamped Jacobi T of ``jacobi_psolve`` (d = diag(A) − σ)
     whenever the operator can report its diagonal
     (``LinearOperator.diagonal()``; matrix-free/composite operators
@@ -230,18 +232,37 @@ class ShiftInvertOperator(LinearOperator):
         # static (apply may trace with sigma as a tracer leaf).
         if kw.get("precond", "auto") == "auto":
             kw["precond"] = cls._resolve_auto(base, float(sigma))
+        if kw.get("precond") == "fdm":
+            # σ exactly at an eigenvalue makes A − σI singular; fail
+            # loudly at construction instead of NaN-poisoning the sweep
+            # (scipy's factorized shift-invert fails the same way, with
+            # a singular-matrix error from the LU)
+            from .fdm import fdm_min_shift_gap
+
+            gap = fdm_min_shift_gap(base, float(sigma))
+            if gap is not None and gap < 1e-12 * max(1.0, abs(float(sigma))):
+                raise ValueError(
+                    f"sigma={float(sigma)!r} coincides with an eigenvalue "
+                    "of the operator (A - sigma*I is singular) — perturb "
+                    "sigma"
+                )
         return cls(
             base=base, sigma=jnp.asarray(sigma, dtype=base.dtype), **kw
         )
 
     @staticmethod
     def _resolve_auto(base: LinearOperator, sigma: float) -> str:
-        """'mg' when a V-cycle exists for ``base`` AND σ sits in the
-        bottom of the spectrum (|σ| ≤ c·‖A‖ with ‖A‖ estimated from the
-        diagonal — 2·max|d| is exact for the model Laplacians and a
-        Gershgorin-flavored proxy generally); else 'jacobi'."""
+        """'fdm' when the operator admits an exact fast-diagonalization
+        shifted solve (ops/fdm.py — Kronecker sums, any σ); else 'mg'
+        when a V-cycle exists AND σ sits in the bottom of the spectrum
+        (|σ| ≤ c·‖A‖ with ‖A‖ estimated from the diagonal — 2·max|d| is
+        exact for the model Laplacians and a Gershgorin-flavored proxy
+        generally); else 'jacobi'."""
+        from .fdm import fdm_solver_for
         from .multigrid import mg_psolve_for
 
+        if fdm_solver_for(base) is not None:
+            return "fdm"
         if mg_psolve_for(base) is None:
             return "jacobi"
         d = base.diagonal()
@@ -270,6 +291,20 @@ class ShiftInvertOperator(LinearOperator):
                 precond = self._resolve_auto(self.base, float(self.sigma))
             except (jax.errors.ConcretizationTypeError, TypeError):
                 precond = "jacobi"
+        if precond == "fdm":
+            # exact fast-diagonalization shifted solve (ops/fdm.py): no
+            # inner iteration at all — the TPU-native analogue of
+            # ARPACK's factorized shift-invert, valid at any σ
+            from .fdm import fdm_solver_for
+
+            direct = fdm_solver_for(self.base)
+            if direct is None:
+                raise ValueError(
+                    "precond='fdm' requires a Kronecker-sum operator "
+                    "(Laplacian2D/3D) — use 'mg', 'jacobi', 'auto', or "
+                    "'none'"
+                )
+            return direct(X.astype(self.dtype), self.sigma).astype(X.dtype)
         psolve = None
         if precond == "mg":
             # geometric V-cycle for supported structured operators

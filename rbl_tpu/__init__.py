@@ -44,6 +44,7 @@ from .ops.spmm.ell import SparseEllOperator
 from .ops.spmm.coo import CooOperator, HybOperator
 from .ops.spmm.dia import DiaOperator
 from .ops.minres import ShiftInvertOperator, block_minres
+from .ops.amg import AssembledMultigrid, block_jacobi_psolve, rigid_body_modes
 from .ops.chebyshev import ChebyshevFilterOperator
 from .ops.generalized import (
     ChebyshevSeriesOperator,
@@ -89,6 +90,9 @@ __all__ = [
     "svds",
     "ShiftInvertOperator",
     "block_minres",
+    "AssembledMultigrid",
+    "block_jacobi_psolve",
+    "rigid_body_modes",
     "ChebyshevFilterOperator",
     "ChebyshevSeriesOperator",
     "GeneralizedShiftInvertOperator",

@@ -140,6 +140,34 @@ def _be_split(A, k, cfg, return_eigenvectors, solve_half, strict=False):
     return w[order], V[:, order]
 
 
+def _auto_inner_psolve(A, sigma: float):
+    """Auto-build a smoothed-aggregation AMG inner preconditioner
+    (ops/amg.py) when the operand arrives as a HOST sparse matrix (the
+    assembled-FEM class), the shift sits near the bottom of the spectrum
+    (the cycle approximates A⁻¹), and the problem is big enough to
+    amortize the one-time setup.  Returns None otherwise — callers fall
+    through to the Jacobi default.  Measured on fem3d-16 at σ = 0:
+    inner MINRES 258 → ~20 iterations."""
+    import scipy.sparse as sp
+
+    if not sp.issparse(A):
+        return None
+    n = A.shape[0]
+    if n < 4000:
+        return None  # setup not worth it; Jacobi handles small systems
+    d = np.abs(np.asarray(A.diagonal()).ravel())
+    if d.size == 0 or d.max() <= 0:
+        return None
+    if abs(sigma) > 0.25 * d.max():
+        return None  # interior shift: A⁻¹ is the wrong preconditioner
+    from .ops.amg import AssembledMultigrid
+
+    try:
+        return AssembledMultigrid.smoothed_aggregation(A).psolve
+    except Exception:
+        return None  # unusual structure: silently keep the Jacobi tier
+
+
 def _rayleigh_from_op(op, res, sigma: float):
     """(λ, X) for a shift-invert solve: λ from the Rayleigh quotient with
     the ORIGINAL A — more accurate than σ + 1/θ, which inherits the inner
@@ -179,6 +207,7 @@ def eigsh(
     mode: str = "normal",
     cfg: Optional[RBLConfig] = None,
     b: Optional[int] = None,
+    inner_psolve=None,
 ):
     """Drop-in ``scipy.sparse.linalg.eigsh`` replacement backed by ``rbl``.
 
@@ -192,6 +221,13 @@ def eigsh(
     and "LM"/"LA"/"SA" with ``sigma`` (eigenvalues nearest / just above /
     just below σ, via the blocked-MINRES shift-invert transform).  See the
     module docstring for the ARPACK-semantics differences.
+
+    ``inner_psolve``: explicit SPD preconditioner for the inner MINRES
+    solves on the shift-invert paths (the analogue of handing scipy an
+    ``OPinv``) — e.g. ``ops.amg.AssembledMultigrid.from_grid(...).psolve``
+    for grid-structured FEM matrices.  When omitted and the operand is a
+    host sparse matrix, a smoothed-aggregation AMG preconditioner is
+    auto-built for near-bottom shifts (``_auto_inner_psolve``).
     """
     from .solver.rbl import rbl
 
@@ -224,6 +260,7 @@ def eigsh(
             A, k, M, which=which, user_which=user_which, sigma=sigma,
             mode=mode, v0=v0, ncv=ncv, tol=tol, maxiter=maxiter,
             return_eigenvectors=return_eigenvectors, cfg=cfg, b=b,
+            inner_psolve=inner_psolve,
         )
     if sigma is None and which == "SM":
         # smallest-magnitude = eigenvalues nearest zero: the σ = 0
@@ -295,7 +332,11 @@ def eigsh(
         # cannot see, so the inner target sits well below the outer tol
         # (floored by what THIS dtype's MINRES can honestly reach).
         inner_tol = default_inner_tol(op.dtype, cfg.tol)
-        si = ShiftInvertOperator.shift(op, float(sigma), inner_tol=inner_tol)
+        if inner_psolve is None:
+            inner_psolve = _auto_inner_psolve(A, float(sigma))
+        si = ShiftInvertOperator.shift(
+            op, float(sigma), inner_tol=inner_tol, psolve=inner_psolve
+        )
         if maxiter is not None:
             # ARPACK's maxiter bounds implicit restarts in shift-invert
             # mode too: run the explicitly restarted solver ON the
@@ -358,7 +399,7 @@ def eigsh(
 
 def _eigsh_generalized(
     A, k, M, *, which, user_which, sigma, mode, v0, ncv, tol, maxiter,
-    return_eigenvectors, cfg, b
+    return_eigenvectors, cfg, b, inner_psolve=None
 ):
     """The M-branch of ``eigsh``: A·x = λ·M·x with SPD M, solved by
     ``rbl_generalized`` (Chebyshev-M^{−1/2} pencil transform — see
@@ -392,10 +433,16 @@ def _eigsh_generalized(
         return res
 
     if sigma is not None:
+        if inner_psolve is None and mode == "normal":
+            # the AMG tier approximates A⁻¹ ≈ (A − σM)⁻¹ at small σ
+            # (buckling/cayley keep the Jacobi default: their B = A
+            # inner product changes what "small shift" means)
+            inner_psolve = _auto_inner_psolve(A, float(sigma))
         res = _raise_if_exhausted(rbl_generalized(
             A, M, k, b=b or _default_block(k), cfg=cfg, which=which,
             sigma=float(sigma), mode=mode, max_restarts=mr,
             compute_eigenvectors=return_eigenvectors, v0=v0,
+            inner_psolve=inner_psolve,
         ))
         w = np.asarray(res.eigenvalues, dtype=np.float64)
         order = _scipy_eig_order(w, user_which, return_eigenvectors)

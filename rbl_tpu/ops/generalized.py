@@ -280,6 +280,10 @@ class GeneralizedShiftInvertOperator(LinearOperator):
     inner_tol: float = static_field(default=1e-11)
     inner_maxiter: Optional[int] = static_field(default=None)
     precond: str = static_field(default="jacobi")
+    # explicit SPD preconditioner for the inner (A − σM) solve — e.g. an
+    # ops/amg.AssembledMultigrid.psolve built from the assembled A.
+    # Static leaf (identity-hashed): reuse one instance across solves.
+    psolve: Optional[Callable] = static_field(default=None)
 
     @property
     def shape(self):
@@ -297,8 +301,8 @@ class GeneralizedShiftInvertOperator(LinearOperator):
         def op(V):
             return self.A.apply(V) - self.sigma * self.M.apply(V)
 
-        psolve = None
-        if self.precond == "jacobi":
+        psolve = self.psolve
+        if psolve is None and self.precond == "jacobi":
             dA, dM = self.A.diagonal(), self.M.diagonal()
             if dA is not None and dM is not None:
                 psolve = jacobi_psolve(

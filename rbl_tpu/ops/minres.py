@@ -221,6 +221,12 @@ class ShiftInvertOperator(LinearOperator):
     inner_tol: float = static_field(default=1e-11)
     inner_maxiter: Optional[int] = static_field(default=None)
     precond: str = static_field(default="auto")
+    # explicit SPD preconditioner application (wins over precond
+    # resolution except the exact FDM path) — e.g. an
+    # ops/amg.AssembledMultigrid.psolve for assembled FEM matrices.
+    # Static leaf: hashes by identity, so reuse ONE instance across
+    # solves to share the compiled sweep.
+    psolve: Optional[Callable] = static_field(default=None)
 
     @classmethod
     def shift(cls, base: LinearOperator, sigma: float, **kw):
@@ -282,6 +288,27 @@ class ShiftInvertOperator(LinearOperator):
 
     def apply(self, X: jax.Array) -> jax.Array:
         precond = self.precond
+        if self.psolve is not None and precond != "fdm":
+            # an explicit SPD preconditioner (e.g. assembled-matrix AMG,
+            # ops/amg.py) wins over the built-in resolution — except the
+            # exact FDM solve, which no preconditioner can beat
+            if precond == "auto":
+                try:
+                    if self._resolve_auto(
+                        self.base, float(self.sigma)
+                    ) == "fdm":
+                        return self._fdm_apply(X)
+                except (jax.errors.ConcretizationTypeError, TypeError):
+                    pass
+            Y, _ = block_minres(
+                self.base.apply,
+                X.astype(self.dtype),
+                shift=self.sigma,
+                tol=self.inner_tol,
+                maxiter=self.inner_maxiter,
+                psolve=self.psolve,
+            )
+            return Y.astype(X.dtype)
         if precond == "auto":
             # ``shift()`` resolves "auto" at construction; a direct
             # dataclass construction can reach here with a possibly
@@ -292,19 +319,7 @@ class ShiftInvertOperator(LinearOperator):
             except (jax.errors.ConcretizationTypeError, TypeError):
                 precond = "jacobi"
         if precond == "fdm":
-            # exact fast-diagonalization shifted solve (ops/fdm.py): no
-            # inner iteration at all — the TPU-native analogue of
-            # ARPACK's factorized shift-invert, valid at any σ
-            from .fdm import fdm_solver_for
-
-            direct = fdm_solver_for(self.base)
-            if direct is None:
-                raise ValueError(
-                    "precond='fdm' requires a Kronecker-sum operator "
-                    "(Laplacian2D/3D) — use 'mg', 'jacobi', 'auto', or "
-                    "'none'"
-                )
-            return direct(X.astype(self.dtype), self.sigma).astype(X.dtype)
+            return self._fdm_apply(X)
         psolve = None
         if precond == "mg":
             # geometric V-cycle for supported structured operators
@@ -335,6 +350,21 @@ class ShiftInvertOperator(LinearOperator):
             psolve=psolve,
         )
         return Y.astype(X.dtype)
+
+    def _fdm_apply(self, X: jax.Array) -> jax.Array:
+        # exact fast-diagonalization shifted solve (ops/fdm.py): no
+        # inner iteration at all — the TPU-native analogue of ARPACK's
+        # factorized shift-invert, valid at any σ
+        from .fdm import fdm_solver_for
+
+        direct = fdm_solver_for(self.base)
+        if direct is None:
+            raise ValueError(
+                "precond='fdm' requires a Kronecker-sum operator "
+                "(Laplacian2D/3D) — use 'mg', 'jacobi', 'auto', or "
+                "'none'"
+            )
+        return direct(X.astype(self.dtype), self.sigma).astype(X.dtype)
 
 
 def default_inner_tol(dtype, tol: float) -> float:

@@ -162,6 +162,7 @@ def rbl_generalized(
     v0=None,
     return_info: bool = False,
     max_restarts: Optional[int] = None,
+    inner_psolve=None,
 ):
     """k extreme eigenpairs of the symmetric-definite pencil (A, M),
     A·x = λ·M·x with M SPD.
@@ -197,6 +198,11 @@ def rbl_generalized(
         the explicitly restarted solver (``rbl_restarted``) with this
         restart budget — the ARPACK ``maxiter`` analogue (sweep length =
         ``cfg.restart_kryl_dim``); ``converged=False`` on exhaustion.
+    inner_psolve: explicit SPD preconditioner application for the inner
+        (A − σM) MINRES solves under ``sigma`` — e.g. an
+        ``ops.amg.AssembledMultigrid.psolve`` built from the assembled
+        stiffness (measured 258 → 20-25 inner iterations on fem3d-16 at
+        σ = 0).  Overrides the default Jacobi.
     m_bounds: optional (λ_min(M), λ_max(M)) overrides (either entry may be
         None).  When absent, both ends are certified by short extreme-end
         solves on M widened by their residual bounds.  λ_min must be
@@ -337,6 +343,7 @@ def rbl_generalized(
             W: LinearOperator = GeneralizedShiftInvertOperator(
                 A=opA, M=opM, msqrt=Psqrt,
                 sigma=jnp.asarray(float(sigma), cdt), inner_tol=float(it),
+                psolve=inner_psolve,
             )
             if mode == "cayley":
                 from ..ops.spmm.operator import AffineOperator

@@ -122,15 +122,42 @@ def fdm_min_shift_gap(op, sigma: float):
     return float(np.abs(lam - sigma).min())
 
 
+def _with_refinement(base_solve, op, n_refine: int = 3):
+    """f64 solves run the TRANSFORMS in f32 on the MXU (the TPU has no
+    f64 MXU; X64-emulated einsums are ~an order slower) and recover f64
+    accuracy by iterative refinement: x ← x + S₃₂(r), r = B − (A−σI)x
+    with the residual in true f64 (a cheap VPU stencil apply).  Each step
+    contracts the error by ~κ(A−σI)·eps₃₂; the construction-time
+    singular-σ guard (minres.shift) keeps κ finite, and three steps
+    reach the f64 floor for κ up to ~1e5."""
+
+    def solve(X, sigma):
+        if X.dtype != jnp.float64:
+            return base_solve(X, sigma)
+        sig64 = jnp.asarray(sigma, jnp.float64)
+        x = base_solve(X.astype(jnp.float32), sigma).astype(jnp.float64)
+        for _ in range(n_refine):
+            r = X - (op.apply(x) - sig64 * x)
+            x = x + base_solve(
+                r.astype(jnp.float32), sigma
+            ).astype(jnp.float64)
+        return x
+
+    return solve
+
+
 def fdm_solver_for(op):
     """Return an exact shifted-solve ``solve(X, sigma) -> (A−σI)⁻¹X`` for
     a supported Kronecker-sum operator, or None.  ``sigma`` may be a
     traced 0-d array (it only enters the pointwise denominators, so one
-    compiled solve serves every shift)."""
+    compiled solve serves every shift).  f64 inputs run f32 MXU
+    transforms + iterative refinement (see _with_refinement)."""
     from .spmm.operator import Laplacian2D, Laplacian3D
 
     if isinstance(op, Laplacian2D):
-        return _solver_2d(op.nx, op.ny, op.dtype)
+        return _with_refinement(_solver_2d(op.nx, op.ny, op.dtype), op)
     if isinstance(op, Laplacian3D):
-        return _solver_3d(op.nx, op.ny, op.nz, op.dtype)
+        return _with_refinement(
+            _solver_3d(op.nx, op.ny, op.nz, op.dtype), op
+        )
     return None

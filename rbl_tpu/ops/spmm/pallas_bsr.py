@@ -247,6 +247,112 @@ def bsr_spmm_packed(tile_cols, hcount, rptr, vals, X, *, bm: int, bk: int,
     )(tile_cols, hcount, rptr, vals, *([X] * U))
 
 
+def _make_packed_resident_kernel(unroll: int, bk: int):
+    """Packed variant with the WHOLE RHS resident in VMEM.
+
+    The standard packed kernel issues ``unroll`` separate (bk, b) X-tile
+    DMAs per grid step (4 KB each at b=8) — at fine tile heights these
+    tiny descriptors throttle the pipeline to ~180 GB/s vs the ~420 GB/s
+    the contiguous A-tile stream reaches alone (BENCHMARKS.md tile-sweep
+    lesson 1; NEXT.md r2 item 3).  Here X rides in once as a (ncb, b, bk)
+    VMEM block (lane-exact: bk=128 minor — a (n, b≈8) layout would pad
+    16×) and the kernel picks tiles by dynamic major-dim indexing, so
+    steady-state HBM traffic is the A tiles only."""
+
+    def kernel(cols_ref, hcnt_ref, rptr_ref, vals_ref, xt_ref, out_ref,
+               acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(j < hcnt_ref[i])
+        def _():
+            base = (rptr_ref[i] + j) * unroll
+            for u in range(unroll):
+                c = cols_ref[base + u]
+                xs = xt_ref[c]  # (b, bk)
+                acc_ref[:] += jax.lax.dot_general(
+                    vals_ref[u], xs,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel
+
+
+# X kept VMEM-resident when its lane-exact layout fits comfortably beside
+# the double-buffered A tiles (v5e VMEM ≈ 16 MB; leave headroom)
+_RESIDENT_X_BYTES = 8 * 2**20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bm", "bk", "H", "unroll", "interpret", "out_dtype"),
+)
+def bsr_spmm_packed_resident(tile_cols, hcount, rptr, vals, X, *, bm: int,
+                             bk: int, H: int, unroll: int = 1,
+                             interpret: bool = False, out_dtype=None):
+    """Y = A @ X, packed layout, RHS resident in VMEM (see kernel doc).
+    X must already be padded to (ncb*bk, b) rows."""
+    nb = rptr.shape[0]
+    ncb = X.shape[0] // bk
+    b = X.shape[1]
+    out_dtype = out_dtype or X.dtype
+    U = unroll
+    Xt = X.reshape(ncb, bk, b).transpose(0, 2, 1)  # (ncb, b, bk)
+
+    def clamped(i, j, hcnt, rptr_):
+        return rptr_[i] + jnp.minimum(j, jnp.maximum(hcnt[i] - 1, i * 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, H),
+        in_specs=[
+            pl.BlockSpec(
+                (U, bm, bk),
+                lambda i, j, cols, hcnt, rptr_: (
+                    clamped(i, j, hcnt, rptr_), i * 0, i * 0
+                ),
+            ),
+            # whole X: constant index map → DMA'd once, then resident
+            pl.BlockSpec(
+                (ncb, b, bk),
+                lambda i, j, cols, hcnt, rptr_: (i * 0, i * 0, i * 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, b), lambda i, j, cols, hcnt, rptr_: (i, i * 0)
+        ),
+        scratch_shapes=[pltpu.VMEM(
+            (bm, b),
+            jnp.float64 if X.dtype == jnp.float64 else jnp.float32,
+        )],
+    )
+    return pl.pallas_call(
+        _make_packed_resident_kernel(U, bk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bm, b), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.shape[0] * bm * bk * b,
+            bytes_accessed=(
+                vals.size * vals.dtype.itemsize
+                + Xt.size * X.dtype.itemsize
+                + nb * bm * b * np.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(tile_cols, hcount, rptr, vals, Xt)
+
+
 def _device_put_large(x: np.ndarray, chunk_bytes: int = 128 * 2**20):
     """Host→device transfer in bounded chunks along axis 0.  Remote-attached
     TPU transports (and some RPC stacks) cap single-request payloads; a
@@ -455,7 +561,12 @@ class BlockSparseOperator(LinearOperator):
         ncb = -(-self._n // self.bk)
         pad = ncb * self.bk - self._n
         Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
-        Y = bsr_spmm_packed(
+        # RHS-resident variant when X fits VMEM beside the A-tile
+        # pipeline: kills the per-step tiny X DMAs (NEXT r2 item 3)
+        xbytes = ncb * self.bk * X.shape[1] * jnp.dtype(self.dtype).itemsize
+        fn = (bsr_spmm_packed_resident
+              if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
+        Y = fn(
             self.tile_cols, self.hcount, self.rptr, self.vals,
             Xp.astype(self.dtype),
             bm=self.bm, bk=self.bk, H=self.H, unroll=self.unroll,

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.spmm.operator import LinearOperator, register_operator, static_field
-from ..ops.spmm.pallas_bsr import _blocked_ell_from_scipy, bsr_spmm
+from ..ops.spmm.pallas_bsr import (
+    _RESIDENT_X_BYTES,
+    _SMEM_TILE_IDS_BYTES,
+    _packed_bsr_from_scipy,
+    bsr_spmm_packed,
+    bsr_spmm_packed_resident,
+    pick_tile_plan,
+)
 
 
 @register_operator
@@ -237,39 +244,95 @@ class ShardedEllSpMM(LinearOperator):
         return int(sum(self.caps))
 
 
+def _block_ghost_plan(needs, ndev: int, ncb_local: int):
+    """Shared ghost-plan derivation at BLOCK granularity.
+
+    needs: per-device sorted arrays of GLOBAL column-block ids referenced
+    by that device's tiles.  Returns (caps, seg_off, send_idx, remaps):
+    per-shift uniform slab capacities, each device's send list (its own
+    local block ids, one segment per shift), and per-device dicts mapping
+    remote global ids → local-extended ids (own blocks first, then ghost
+    slots in receive order)."""
+    import numpy as np
+
+    recv = [[None] * ndev for _ in range(max(ndev - 1, 0))]
+    for d in range(ndev):
+        lo = d * ncb_local
+        need = needs[d]
+        remote = need[(need < lo) | (need >= lo + ncb_local)]
+        owner = remote // ncb_local
+        for s in range(1, ndev):
+            recv[s - 1][d] = remote[owner == (d - s) % ndev]
+    caps = tuple(
+        int(max(len(recv[s][d]) for d in range(ndev)))
+        for s in range(max(ndev - 1, 0))
+    )
+    seg_off = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+    total_cap = int(sum(caps))
+    send_idx = np.zeros((ndev, max(total_cap, 1)), np.int32)
+    remaps = []
+    for d in range(ndev):
+        lo = d * ncb_local
+        remap = {}
+        for s in range(1, ndev):
+            if caps[s - 1] == 0:
+                continue
+            base = ncb_local + seg_off[s - 1]
+            for j, c in enumerate(recv[s - 1][d]):
+                remap[int(c)] = base + j
+            dst = (d + s) % ndev
+            lst = recv[s - 1][dst]  # owned by d by construction
+            send_idx[d, seg_off[s - 1] : seg_off[s - 1] + len(lst)] = (
+                lst - lo
+            )
+        remaps.append(remap)
+    return caps, seg_off, send_idx, remaps
+
+
 @register_operator
 @dataclasses.dataclass(frozen=True)
 class ShardedBlockSparseOperator(LinearOperator):
-    """Row-banded blocked-ELL operator applied with the Pallas BSR SpMM
-    kernel on each device, with BOUNDARY-ONLY ghost-block exchange — the
-    distributed form of the flagship kernel (reference hot path:
-    CuSPARSE ``mul!`` in RBL_gpu.jl:152,176; SURVEY §2b row 1's
+    """Row-banded PACKED (CSR-of-tiles) operator applied with the Pallas
+    packed-BSR kernel on each device, with BOUNDARY-ONLY ghost-block
+    exchange — the distributed form of the flagship kernel (reference hot
+    path: CuSPARSE ``mul!`` in RBL_gpu.jl:152,176; SURVEY §2b row 1's
     "row-partitioned across devices with halo exchange").
 
-    Everything data-dependent is resolved host-side at construction, where
-    the block-column lists are plain numpy:
+    Round 3 moved this from blocked-ELL to the packed layout + calibrated
+    (tile-height, unroll) auto-tuner (VERDICT r2 item 6): rows store only
+    their own tiles (pad ≤ U−1 per row, not pad-to-L_max), which is the
+    up-to-1.8× single-chip win on skewed tile counts, and tiles may be
+    rectangular (bm from the tuner, bk = 128 column blocks) — the bands
+    only need n divisible by ndev·bm and ndev·bk.
 
-    - Device d owns block rows [d·nb_local, (d+1)·nb_local) — its slice of
-      ``block_vals`` — and the matching band of X's column blocks.
-    - Its ``block_cols`` are REMAPPED to local-extended ids: own column
-      blocks first (0..ncb_local-1), then ghost slots in receive order.
+    Everything data-dependent is resolved host-side at construction:
+
+    - Device d owns block rows [d·nb_local, (d+1)·nb_local) — its slice
+      of the packed tile list, zero-padded to the max per-device tile
+      count so shard_map sees uniform shapes — and the matching band of
+      X's column blocks.
+    - Its tile column ids are REMAPPED to local-extended ids: own column
+      blocks first (0..ncb_local−1), then ghost slots in receive order.
     - For each mesh shift s that carries coupling anywhere, each device
-      holds a static send list (its own column blocks that the device s
-      hops ahead references), padded to the max count over devices
-      (``caps[s-1]``) so one circular ``ppermute`` per shift moves
-      uniform (cap, bk, b) slabs over ICI.  Zero-cap shifts are skipped at
-      trace time, so a banded matrix pays exactly its two neighbor
+      holds a static send list padded to the max count over devices
+      (``caps[s−1]``) so one circular ``ppermute`` per shift moves
+      uniform (cap, bk, b) slabs over ICI.  Zero-cap shifts are skipped
+      at trace time: a banded matrix pays exactly its two neighbor
       permutes and comm volume stays ∝ boundary blocks, not n.
 
-    apply() then concatenates [own blocks, ghosts] and runs the unchanged
-    single-device Pallas kernel on the local band.
+    apply() concatenates [own blocks, ghosts] and runs the unchanged
+    single-device packed kernel on the local band (the VMEM-resident-RHS
+    variant when the extended X fits — see pallas_bsr.py).
     """
 
-    block_cols: jax.Array  # (ndev*nb_local*L,) int32 LOCAL-EXTENDED ids
-    block_vals: jax.Array  # (ndev*nb_local*L, bm, bk), banded over devices
+    tile_cols: jax.Array   # (ndev*Tmax,) int32 LOCAL-EXTENDED ids, banded
+    hcount: jax.Array      # (ndev*nb_local,) int32 chunk count per row
+    rptr: jax.Array        # (ndev*nb_local,) int32 LOCAL chunk offsets
+    vals: jax.Array        # (ndev*Tmax, bm, bk) packed tiles, banded
     send_idx: jax.Array    # (ndev, max(Σcaps, 1)) int32 local col-block ids
+    diag: jax.Array | None = None   # (n,) — stashed at construction
     _n: int = static_field(default=0)
-    L: int = static_field(default=1)
+    H: int = static_field(default=1)
     bm: int = static_field(default=128)
     bk: int = static_field(default=128)
     unroll: int = static_field(default=1)
@@ -284,122 +347,138 @@ class ShardedBlockSparseOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.block_vals.dtype
+        return self.vals.dtype
 
     @classmethod
     def from_scipy(cls, A, mesh, axis: str = "rows", dtype=jnp.float32,
-                   bm: int = 128, bk: int = 128,
+                   bm: int | None = None, bk: int = 128,
+                   unroll: int | None = None,
                    interpret: bool | None = None):
         import numpy as np
+        import scipy.sparse as sp
 
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        if bm != bk:
-            raise ValueError("sharded BSR needs square tiles (bm == bk): "
-                             "X's column-block grid must band like A's rows")
         ndev = mesh.shape[axis]
         n = A.shape[0]
-        if n % (ndev * bk):
+        if bm is None and unroll is None:
+            plan = pick_tile_plan(A, bk=bk)
+            if plan is None:
+                raise ValueError(
+                    "no packed-BSR plan fits the scalar-prefetch budget — "
+                    "use the ELL/COO sharded operators instead"
+                )
+            bm, unroll = plan
+        elif unroll is None:
+            unroll = 4
+        elif bm is None:
+            raise ValueError("pass bm with unroll (or neither)")
+        if n % (ndev * bk) or n % (ndev * bm):
             raise ValueError(
-                f"n={n} must be divisible by mesh_size*bk={ndev * bk} so "
-                f"row bands align with the column-block grid"
+                f"n={n} must be divisible by mesh_size*bk={ndev * bk} and "
+                f"mesh_size*bm={ndev * bm} so row bands align with the "
+                "column-block grid"
             )
-        block_cols, block_vals, nb, ncb, L = _blocked_ell_from_scipy(
-            A, bm, bk, dtype
+        tile_cols_g, hcount_g, rptr_g, vals_g, nb, ncb, H = (
+            _packed_bsr_from_scipy(A, bm, bk, unroll, dtype)
         )
-        unroll = 2 if L >= 4 else 1
-        if L % unroll:
-            pad = unroll - L % unroll
-            block_cols = np.pad(block_cols, ((0, 0), (0, pad)))
-            block_vals = np.pad(
-                block_vals, ((0, 0), (0, pad), (0, 0), (0, 0))
-            )
-            L += pad
         nb_local = nb // ndev
         ncb_local = ncb // ndev
-        # a slot is padding iff its value tile is all-zero (explicit stored
-        # zeros contribute nothing either way, so repointing them is safe)
-        occ = block_vals.reshape(nb, L, -1).any(axis=2)
+        nchunks = int(hcount_g.sum())
 
-        # receive lists per (shift, device): blocks device d needs from the
-        # device s hops behind it ((d-s) % ndev owns them)
-        recv = [[None] * ndev for _ in range(max(ndev - 1, 0))]
+        # per-band chunk ranges + the global column ids each band touches
+        U = unroll
+        starts = [int(rptr_g[d * nb_local]) for d in range(ndev)]
+        ends = [
+            int(rptr_g[(d + 1) * nb_local]) if d + 1 < ndev else nchunks
+            for d in range(ndev)
+        ]
+        occ_bands, needs = [], []
         for d in range(ndev):
-            sl = slice(d * nb_local, (d + 1) * nb_local)
-            lo = d * ncb_local
-            cols_d, occ_d = block_cols[sl], occ[sl]
-            cols_d[~occ_d] = lo  # padding slots point at own first block
-            need = np.unique(cols_d[occ_d])
-            remote = need[(need < lo) | (need >= lo + ncb_local)]
-            owner = remote // ncb_local
-            for s in range(1, ndev):
-                recv[s - 1][d] = remote[owner == (d - s) % ndev]
-        caps = tuple(
-            int(max(len(recv[s][d]) for d in range(ndev)))
-            for s in range(max(ndev - 1, 0))
+            v = vals_g[starts[d] * U : ends[d] * U]
+            occ = v.reshape(v.shape[0], -1).any(axis=1)
+            occ_bands.append(occ)
+            cols_d = tile_cols_g[starts[d] * U : ends[d] * U]
+            needs.append(np.unique(cols_d[occ]))
+        caps, seg_off, send_idx, remaps = _block_ghost_plan(
+            needs, ndev, ncb_local
         )
-        seg_off = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
-        total_cap = int(sum(caps))
 
-        # remap each band's block_cols to local-extended ids and build the
-        # per-device send lists (what the device s hops ahead will need)
-        cols_out = np.zeros((ndev, nb_local, L), np.int32)
-        send_idx = np.zeros((ndev, max(total_cap, 1)), np.int32)
+        Tmax = max((ends[d] - starts[d]) * U for d in range(ndev))
+        if (Tmax + 2 * nb_local) * 4 > _SMEM_TILE_IDS_BYTES:
+            raise ValueError(
+                "per-device scalar-prefetch footprint exceeds SMEM for "
+                "this (bm, unroll) — pass a coarser bm or use the "
+                "ELL/COO sharded operators"
+            )
+        cols_out = np.zeros((ndev, Tmax), np.int32)
+        vals_out = np.zeros((ndev, Tmax, bm, bk), vals_g.dtype)
+        rptr_out = np.zeros((ndev, nb_local), np.int32)
+        hcnt_out = np.zeros((ndev, nb_local), np.int32)
         for d in range(ndev):
             lo = d * ncb_local
-            remap = {}
-            for s in range(1, ndev):
-                if caps[s - 1] == 0:
-                    continue
-                base = ncb_local + seg_off[s - 1]
-                for j, c in enumerate(recv[s - 1][d]):
-                    remap[int(c)] = base + j
-                dst = (d + s) % ndev
-                lst = recv[s - 1][dst]  # owned by d by construction
-                send_idx[d, seg_off[s - 1] : seg_off[s - 1] + len(lst)] = (
-                    lst - lo
-                )
-            flat = block_cols[d * nb_local : (d + 1) * nb_local].ravel()
-            out = np.empty_like(flat, dtype=np.int32)
-            own = (flat >= lo) & (flat < lo + ncb_local)
+            T_d = (ends[d] - starts[d]) * U
+            flat = tile_cols_g[starts[d] * U : ends[d] * U]
+            occ = occ_bands[d]
+            out = np.zeros_like(flat, dtype=np.int32)  # padding → own 0
+            own = occ & (flat >= lo) & (flat < lo + ncb_local)
+            rem = occ & ~own
             out[own] = flat[own] - lo
-            out[~own] = [remap[int(c)] for c in flat[~own]]
-            cols_out[d] = out.reshape(nb_local, L)
+            out[rem] = [remaps[d][int(c)] for c in flat[rem]]
+            cols_out[d, :T_d] = out
+            vals_out[d, :T_d] = vals_g[starts[d] * U : ends[d] * U]
+            rptr_out[d] = (
+                rptr_g[d * nb_local : (d + 1) * nb_local] - starts[d]
+            )
+            hcnt_out[d] = hcount_g[d * nb_local : (d + 1) * nb_local]
 
         sh_flat = NamedSharding(mesh, P(axis))
         return cls(
-            block_cols=jax.device_put(
-                jnp.asarray(cols_out.reshape(nb * L)), sh_flat
+            tile_cols=jax.device_put(
+                jnp.asarray(cols_out.reshape(-1)), sh_flat
             ),
-            block_vals=jax.device_put(
-                block_vals.reshape(nb * L, bm, bk),
+            hcount=jax.device_put(
+                jnp.asarray(hcnt_out.reshape(-1)), sh_flat
+            ),
+            rptr=jax.device_put(
+                jnp.asarray(rptr_out.reshape(-1)), sh_flat
+            ),
+            vals=jax.device_put(
+                vals_out.reshape(ndev * Tmax, bm, bk),
                 NamedSharding(mesh, P(axis, None, None)),
             ),
             send_idx=jax.device_put(
                 jnp.asarray(send_idx), NamedSharding(mesh, P(axis, None))
             ),
-            _n=n, L=L, bm=bm, bk=bk, unroll=unroll, caps=caps,
+            diag=jax.device_put(
+                jnp.asarray(
+                    sp.csr_matrix(A).diagonal().astype(np.dtype(dtype))
+                ),
+                sh_flat,
+            ),
+            _n=n, H=H, bm=bm, bk=bk, unroll=unroll, caps=caps,
             interpret=interpret, mesh=mesh, axis=axis,
         )
 
     def apply(self, X):
         ndev = self.mesh.shape[self.axis]
-        nb_local = (self.block_cols.shape[0] // self.L) // ndev
-        ncb_local = nb_local  # square tiles, aligned bands
+        nb_local = self.rptr.shape[0] // ndev
+        ncb_local = self._n // (ndev * self.bk)
         b = X.shape[1]
-        caps, L, bm, bk = self.caps, self.L, self.bm, self.bk
+        caps, H, bm, bk = self.caps, self.H, self.bm, self.bk
+        ncb_ext = ncb_local + sum(caps)
+        xbytes = ncb_ext * bk * b * jnp.dtype(self.dtype).itemsize
+        fn = (bsr_spmm_packed_resident
+              if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
 
-        def local_apply(cols_l, vals_l, send_l, x_local):
-            # same exchange protocol as the row-granularity operators,
-            # at (bk, b) BLOCK granularity: _ghost_exchange takes any
-            # leading-axis slab layout
+        def local_apply(cols_l, hcnt_l, rptr_l, vals_l, send_l, x_local):
             xb = x_local.reshape(ncb_local, bk, b)
             x_ext = _ghost_exchange(
                 xb, send_l, caps, ndev, self.axis
             ).reshape(-1, b)
-            return bsr_spmm(
-                cols_l, vals_l, x_ext.astype(self.dtype),
-                bm=bm, bk=bk, L=L, unroll=self.unroll,
+            return fn(
+                cols_l, hcnt_l, rptr_l, vals_l, x_ext.astype(self.dtype),
+                bm=bm, bk=bk, H=H, unroll=self.unroll,
                 interpret=self.interpret, out_dtype=x_local.dtype,
             )
 
@@ -407,36 +486,19 @@ class ShardedBlockSparseOperator(LinearOperator):
             local_apply,
             mesh=self.mesh,
             in_specs=(
-                P(self.axis), P(self.axis, None, None),
+                P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis, None, None),
                 P(self.axis, None), P(self.axis, None),
             ),
             out_specs=P(self.axis, None),
             # pallas_call's out_shape carries no varying-mesh-axes info, so
             # the vma checker cannot type it — the specs above are the truth
             check_vma=False,
-        )(self.block_cols, self.block_vals, self.send_idx, X)
+        )(self.tile_cols, self.hcount, self.rptr, self.vals,
+          self.send_idx, X)
 
     def diagonal(self):
-        # the diag tile of local block-row i is local column block i (bands
-        # align), so the single-device mask works with a LOCAL arange;
-        # padding slots carry zero values and cannot pollute row 0
-        ndev = self.mesh.shape[self.axis]
-        nb_local = (self.block_cols.shape[0] // self.L) // ndev
-        L, bm, bk = self.L, self.bm, self.bk
-
-        def local_diag(cols_l, vals_l):
-            cols = cols_l.reshape(nb_local, L)
-            vals = vals_l.reshape(nb_local, L, bm, bk)
-            tile_diag = jnp.diagonal(vals, axis1=2, axis2=3)  # (nbl, L, bm)
-            mask = cols == jnp.arange(nb_local, dtype=cols.dtype)[:, None]
-            return jnp.sum(tile_diag * mask[:, :, None], axis=1).reshape(-1)
-
-        return jax.shard_map(
-            local_diag,
-            mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis, None, None)),
-            out_specs=P(self.axis),
-        )(self.block_cols, self.block_vals)
+        return self.diag
 
     def comm_blocks_per_apply(self) -> int:
         """Ghost (bk, b)-slabs each device moves per apply — the boundary

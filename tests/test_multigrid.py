@@ -200,7 +200,7 @@ def test_auto_resolves_fdm_for_kronecker_sums():
     structured non-FDM operators at small |sigma|, Jacobi otherwise."""
     op = rt.Laplacian2D(nx=64, ny=64, _dtype=jnp.float64)
     assert ShiftInvertOperator.shift(op, 0.0).precond == "fdm"
-    assert ShiftInvertOperator.shift(op, 4.0).precond == "fdm"
+    assert ShiftInvertOperator.shift(op, 4.05).precond == "fdm"
     op3 = rt.Laplacian3D(nx=16, ny=16, nz=16, _dtype=jnp.float64)
     assert ShiftInvertOperator.shift(op3, 1.0).precond == "fdm"
     d = rt.DiagonalOperator(jnp.linspace(1.0, 100.0, 500))

@@ -390,3 +390,29 @@ def test_bsr_plan_none_when_smem_overflows(monkeypatch):
     assert pb.modeled_bsr_apply_seconds(A) == float("inf")
     with pytest.raises(ValueError, match="scalar-prefetch budget"):
         BlockSparseOperator.from_scipy(A, dtype=jnp.float32, interpret=True)
+
+
+def test_packed_resident_matches_streaming():
+    """The VMEM-resident-RHS packed kernel (NEXT r2 item 3) must equal
+    the streaming variant bit-for-bit in result (both f64 interpret)."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.ops.spmm import pallas_bsr as pb
+
+    rng = np.random.default_rng(7)
+    n, b = 768, 5
+    M = sp.random(n, n, density=0.01, random_state=8)
+    A = sp.csr_matrix(M + M.T)
+    op = rt.BlockSparseOperator.from_scipy(
+        A, dtype=jnp.float64, bm=16, bk=128, unroll=4, interpret=True
+    )
+    X = jnp.asarray(rng.standard_normal((n, b)))
+    y_res = np.asarray(op.apply(X))  # small X → resident path
+    old = pb._RESIDENT_X_BYTES
+    try:
+        pb._RESIDENT_X_BYTES = 0  # force the streaming kernel
+        y_str = np.asarray(op.apply(X))
+    finally:
+        pb._RESIDENT_X_BYTES = old
+    np.testing.assert_allclose(y_res, y_str, atol=1e-12)
+    np.testing.assert_allclose(y_res, A @ np.asarray(X), atol=1e-10)

@@ -143,8 +143,35 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_s / dt, 2),
         "max_rel_err": round(max_rel, 6),
+        "tol": 1e-3,
         "basis": os.environ.get("RBL_BENCH_BASIS", "bf16"),
     }
+    # companion row at the REFERENCE'S OWN tolerance (RBL.jl:109 1e-7
+    # residual bound; f64 compute — measured via benchmarks/
+    # run_tpu_round3b.sh tol_honest leg and recorded in BENCHMARKS.md).
+    # RBL_BENCH_REF_TOL=1 re-measures it in-session (f64: adds minutes).
+    if os.environ.get("RBL_BENCH_REF_TOL"):
+        import jax.numpy as jnp
+
+        import rbl_tpu as rt
+        from rbl_tpu.config import RBLConfig
+
+        op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float64)
+        cfg = RBLConfig(block_size=8, basis_dtype=jnp.float64,
+                        compute_dtype=jnp.float64, tol=1e-7,
+                        max_kryl_dim=1400, eig_poll_cadence=16, seed=0)
+        rt.rbl(op, 50, 8, cfg=cfg, compute_eigenvectors=True)  # warm
+        t0 = time.perf_counter()
+        res = rt.rbl(op, 50, 8, cfg=cfg.replace(seed=1),
+                     compute_eigenvectors=True)
+        float(res.eigenvectors[0, 0])
+        ref_dt = time.perf_counter() - t0
+        lam50 = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:50]
+        rel7 = float(np.max(np.abs(np.asarray(res.eigenvalues) - lam50)
+                            / lam50))
+        out["at_ref_tol_s"] = round(ref_dt, 3)
+        out["ref_tol"] = 1e-7
+        out["ref_tol_max_rel_err"] = rel7
     if measured_baseline is not None:
         out["baseline_measured_s"] = round(measured_baseline, 3)
     print(json.dumps(out))

@@ -96,6 +96,32 @@ def main():
     print(f"  dense oracle: {np.array2string(dense, precision=6)}")
     print(f"  converged={resb.converged}  {el:.2f}s")
 
+    # 3-D elasticity vibration with the assembled-matrix AMG tier
+    # (ops/amg.py): the production-class path for SuiteSparse-like FEM
+    # stiffness pencils — the grid-AMG inner preconditioner cuts the
+    # inner MINRES from hundreds of iterations (scalar Jacobi) to ~25.
+    import jax.numpy as jnp
+
+    from rbl_tpu.utils.fem import fem_elasticity_3d
+
+    N = 8
+    A3 = fem_elasticity_3d(N)
+    mlump = np.asarray(A3.sum(axis=1)).ravel()
+    mlump = np.abs(mlump) + 1e-3 * np.abs(mlump).mean()
+    amg = rt.AssembledMultigrid.from_grid(A3, (N, N + 1, N + 1), dof=3)
+    print(f"== 3-D elasticity vibration: lowest 4 modes, grid-AMG "
+          f"(n={A3.shape[0]}) ==")
+    t0 = time.perf_counter()
+    w3, V3 = rt.eigsh(
+        A3, k=4, M=rt.DiagonalOperator(jnp.asarray(mlump, jnp.float64)),
+        sigma=0.0, which="LM", tol=1e-8, inner_psolve=amg.psolve,
+    )
+    el = time.perf_counter() - t0
+    R3 = A3 @ V3 - (mlump[:, None] * V3) * w3[None, :]
+    print(f"  eigenvalues: {np.array2string(w3, precision=6)}")
+    print(f"  max residual: {np.linalg.norm(R3, axis=0).max():.2e}  "
+          f"{el:.2f}s")
+
 
 if __name__ == "__main__":
     main()

@@ -160,10 +160,20 @@ def _auto_inner_psolve(A, sigma: float):
         return None
     if abs(sigma) > 0.25 * d.max():
         return None  # interior shift: A⁻¹ is the wrong preconditioner
+    import jax
+    import jax.numpy as jnp
+
     from .ops.amg import AssembledMultigrid
 
+    # On TPU the f64 inner solve runs MIXED (f32 MINRES + f64 defect
+    # correction — ops/minres.block_minres_refined), so the cycle serves
+    # f32 blocks: build it at f32 and every level op runs native-speed.
+    dtype = (jnp.float32 if jax.default_backend() == "tpu"
+             else jnp.float64)
     try:
-        return AssembledMultigrid.smoothed_aggregation(A).psolve
+        return AssembledMultigrid.smoothed_aggregation(
+            A, dtype=dtype
+        ).psolve
     except Exception:
         return None  # unusual structure: silently keep the Jacobi tier
 

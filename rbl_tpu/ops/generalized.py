@@ -284,6 +284,11 @@ class GeneralizedShiftInvertOperator(LinearOperator):
     # ops/amg.AssembledMultigrid.psolve built from the assembled A.
     # Static leaf (identity-hashed): reuse one instance across solves.
     psolve: Optional[Callable] = static_field(default=None)
+    # "full" | "mixed" | "auto" — see ops/minres.ShiftInvertOperator:
+    # mixed runs the inner MINRES in f32 with f64 defect correction (the
+    # TPU-native f64 strategy); auto = mixed iff dtype f64 on TPU.
+    # Under mixed a user ``psolve`` must accept f32 blocks.
+    inner_precision: str = static_field(default="auto")
 
     @property
     def shape(self):
@@ -294,7 +299,11 @@ class GeneralizedShiftInvertOperator(LinearOperator):
         return self.A.dtype
 
     def apply(self, X: jax.Array) -> jax.Array:
-        from ..ops.minres import block_minres, jacobi_psolve
+        from ..ops.minres import (
+            block_minres,
+            block_minres_refined,
+            jacobi_psolve,
+        )
 
         B = self.msqrt.apply(X.astype(self.dtype))
 
@@ -309,8 +318,29 @@ class GeneralizedShiftInvertOperator(LinearOperator):
                     dA.astype(self.dtype)
                     - self.sigma * dM.astype(self.dtype)
                 )
-        Y, _ = block_minres(
-            op, B, shift=0.0, tol=self.inner_tol,
-            maxiter=self.inner_maxiter, psolve=psolve,
+        mixed = self.inner_precision == "mixed" or (
+            self.inner_precision == "auto"
+            and jnp.dtype(self.dtype) == jnp.float64
+            and jax.default_backend() == "tpu"
         )
+        if mixed:
+            from .spmm.operator import cast_operator
+
+            A32 = cast_operator(self.A, jnp.float32)
+            M32 = cast_operator(self.M, jnp.float32)
+            sig32 = self.sigma.astype(jnp.float32)
+
+            def op32(V):
+                return A32.apply(V) - sig32 * M32.apply(V)
+
+            Y, _ = block_minres_refined(
+                op, B, shift=0.0, tol=self.inner_tol,
+                apply32=op32, psolve32=psolve,
+                inner_maxiter=self.inner_maxiter,
+            )
+        else:
+            Y, _ = block_minres(
+                op, B, shift=0.0, tol=self.inner_tol,
+                maxiter=self.inner_maxiter, psolve=psolve,
+            )
         return self.msqrt.apply(Y).astype(X.dtype)

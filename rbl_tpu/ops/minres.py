@@ -227,6 +227,13 @@ class ShiftInvertOperator(LinearOperator):
     # Static leaf: hashes by identity, so reuse ONE instance across
     # solves to share the compiled sweep.
     psolve: Optional[Callable] = static_field(default=None)
+    # "full": MINRES at the operator dtype.  "mixed": f32 MINRES + f64
+    # defect correction (block_minres_refined) — the TPU-native f64
+    # strategy (no native f64 MXU/VPU; every f64 iteration runs
+    # X64-emulated).  "auto": mixed iff dtype is f64 AND the backend is
+    # TPU.  NB under "mixed" a user ``psolve`` must accept f32 blocks
+    # (the built-in Jacobi does; build AMG psolves at f32).
+    inner_precision: str = static_field(default="auto")
 
     @classmethod
     def shift(cls, base: LinearOperator, sigma: float, **kw):
@@ -286,6 +293,32 @@ class ShiftInvertOperator(LinearOperator):
     def dtype(self):
         return self.base.dtype
 
+    def _mixed(self) -> bool:
+        if self.inner_precision == "mixed":
+            return True
+        return (self.inner_precision == "auto"
+                and jnp.dtype(self.dtype) == jnp.float64
+                and jax.default_backend() == "tpu")
+
+    def _minres_solve(self, B64: jax.Array, psolve) -> jax.Array:
+        """The inner solve, at full or mixed precision (see
+        ``inner_precision``)."""
+        if self._mixed():
+            from .spmm.operator import cast_operator
+
+            op32 = cast_operator(self.base, jnp.float32)
+            Y, _ = block_minres_refined(
+                self.base.apply, B64, shift=self.sigma,
+                tol=self.inner_tol, apply32=op32.apply, psolve32=psolve,
+                inner_maxiter=self.inner_maxiter,
+            )
+            return Y
+        Y, _ = block_minres(
+            self.base.apply, B64, shift=self.sigma, tol=self.inner_tol,
+            maxiter=self.inner_maxiter, psolve=psolve,
+        )
+        return Y
+
     def apply(self, X: jax.Array) -> jax.Array:
         precond = self.precond
         if self.psolve is not None and precond != "fdm":
@@ -300,15 +333,9 @@ class ShiftInvertOperator(LinearOperator):
                         return self._fdm_apply(X)
                 except (jax.errors.ConcretizationTypeError, TypeError):
                     pass
-            Y, _ = block_minres(
-                self.base.apply,
-                X.astype(self.dtype),
-                shift=self.sigma,
-                tol=self.inner_tol,
-                maxiter=self.inner_maxiter,
-                psolve=self.psolve,
-            )
-            return Y.astype(X.dtype)
+            return self._minres_solve(
+                X.astype(self.dtype), self.psolve
+            ).astype(X.dtype)
         if precond == "auto":
             # ``shift()`` resolves "auto" at construction; a direct
             # dataclass construction can reach here with a possibly
@@ -341,15 +368,9 @@ class ShiftInvertOperator(LinearOperator):
             d = self.base.diagonal()
             if d is not None:
                 psolve = jacobi_psolve(d.astype(self.dtype) - self.sigma)
-        Y, _ = block_minres(
-            self.base.apply,
-            X.astype(self.dtype),
-            shift=self.sigma,
-            tol=self.inner_tol,
-            maxiter=self.inner_maxiter,
-            psolve=psolve,
+        return self._minres_solve(X.astype(self.dtype), psolve).astype(
+            X.dtype
         )
-        return Y.astype(X.dtype)
 
     def _fdm_apply(self, X: jax.Array) -> jax.Array:
         # exact fast-diagonalization shifted solve (ops/fdm.py): no
@@ -365,6 +386,81 @@ class ShiftInvertOperator(LinearOperator):
                 "'none'"
             )
         return direct(X.astype(self.dtype), self.sigma).astype(X.dtype)
+
+
+def block_minres_refined(
+    apply64: Callable[[jax.Array], jax.Array],
+    B: jax.Array,
+    *,
+    shift: jax.Array | float = 0.0,
+    tol: float = 1e-11,
+    apply32: Optional[Callable[[jax.Array], jax.Array]] = None,
+    psolve32: Optional[Callable[[jax.Array], jax.Array]] = None,
+    inner_tol: float = 1e-5,
+    inner_maxiter: Optional[int] = None,
+    max_refine: int = 8,
+):
+    """Solve (A − σI) X = B to f64 accuracy with ALL iterations in f32:
+    repeated defect correction x ← x + S₃₂(b − (A−σI)x), where S₃₂ is an
+    f32 blocked-MINRES solve to ``inner_tol`` and the residual is true
+    f64 (one ``apply64`` per refinement step).
+
+    The TPU-native mixed-precision formulation: the MXU/VPU have no f64,
+    so a plain f64 MINRES runs every one of its hundreds of iterations
+    X64-emulated; here the emulated work is max_refine residuals.  Each
+    refinement contracts the error by ~max(inner_tol, κ·eps₃₂), so the
+    loop reaches ``tol`` (relative, f64 floor) when κ(A−σI) ≲ 1e5 —
+    beyond that the f32 inner solve itself stalls and the loop exits at
+    ``max_refine`` with whatever it reached (same caveat as any inexact
+    inner solve).
+
+    apply32/psolve32 default to casting wrappers around ``apply64`` —
+    pass natively-f32 versions (``cast_operator``) to avoid emulated f64
+    applies inside the f32 iteration.
+    """
+    n, b = B.shape
+    if apply32 is None:
+        def apply32(V):  # noqa: E306
+            return apply64(V.astype(B.dtype)).astype(jnp.float32)
+    sig64 = jnp.asarray(shift, B.dtype)
+    sig32 = jnp.asarray(shift).astype(jnp.float32)
+    bnorm = jnp.sqrt(
+        jnp.einsum("ij,ij->j", B, B, preferred_element_type=B.dtype)
+    )
+    bnorm_s = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
+
+    def resid(x):
+        return B - (apply64(x) - sig64 * x)
+
+    def rnorm(r):
+        return jnp.sqrt(
+            jnp.einsum("ij,ij->j", r, r, preferred_element_type=r.dtype)
+        )
+
+    def solve32(r):
+        dx, _ = block_minres(
+            apply32, r.astype(jnp.float32), shift=sig32, tol=inner_tol,
+            maxiter=inner_maxiter, psolve=psolve32,
+        )
+        return dx.astype(B.dtype)
+
+    x0 = solve32(B)
+    r0 = resid(x0)
+
+    def cond(state):
+        it, _, r = state
+        return jnp.logical_and(
+            it < max_refine, jnp.any(rnorm(r) > tol * bnorm_s)
+        )
+
+    def body(state):
+        it, x, r = state
+        x = x + solve32(r)
+        return it + 1, x, resid(x)
+
+    it, x, r = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32),
+                                           x0, r0))
+    return x, (it, rnorm(r) / bnorm_s)
 
 
 def default_inner_tol(dtype, tol: float) -> float:

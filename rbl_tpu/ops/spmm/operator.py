@@ -83,6 +83,31 @@ def static_field(**kw):
     return dataclasses.field(metadata={"leaf": False}, **kw)
 
 
+def cast_operator(op, dtype):
+    """An operator equal to ``op`` with every floating array leaf (and
+    any static ``_dtype`` field) cast to ``dtype``.
+
+    Powers the mixed-precision inner-solve tier (ops/minres.py): the TPU
+    has no native f64, so f64 inner iterations run X64-emulated — casting
+    the operator once and iterating in f32 with f64 defect correction is
+    the TPU-native formulation.  Works for any registered operator pytree
+    (array-backed formats cast their value arrays; matrix-free stencils
+    flip their static dtype)."""
+    dtype = jnp.dtype(dtype)
+
+    def cast_leaf(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+
+    new = jax.tree_util.tree_map(cast_leaf, op)
+    if dataclasses.is_dataclass(new) and any(
+        f.name == "_dtype" for f in dataclasses.fields(new)
+    ):
+        new = dataclasses.replace(new, _dtype=dtype)
+    return new
+
+
 @register_operator
 @dataclasses.dataclass(frozen=True)
 class DiagonalOperator(LinearOperator):

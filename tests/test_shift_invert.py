@@ -242,3 +242,57 @@ class TestEigshSigma:
             rt.eigsh(A, k=2, sigma=1.0, which="SM")
         with pytest.raises(NotImplementedError):
             rt.eigsh(A, k=2, sigma=1.0, which="BE")
+
+
+class TestMixedPrecisionInner:
+    """f32 MINRES + f64 defect correction (block_minres_refined) must
+    reach full-f64 inner accuracy — the TPU-native f64 strategy."""
+
+    def test_refined_matches_full_diag(self):
+        from rbl_tpu.ops.minres import (
+            ShiftInvertOperator,
+            block_minres_refined,
+        )
+
+        d = jnp.linspace(1.0, 500.0, 800).astype(jnp.float64)
+        op = rt.DiagonalOperator(d)
+        rng = np.random.default_rng(0)
+        B = jnp.asarray(rng.standard_normal((800, 3)))
+        sigma = 123.4
+        X, (it, rel) = block_minres_refined(
+            lambda V: op.apply(V), B, shift=sigma, tol=1e-12,
+        )
+        R = np.asarray(op.apply(X) - sigma * X - B)
+        assert np.linalg.norm(R) < 1e-10 * np.linalg.norm(np.asarray(B))
+        # operator surface, forced mixed, vs forced full
+        si_m = ShiftInvertOperator.shift(
+            op, sigma, inner_precision="mixed")
+        si_f = ShiftInvertOperator.shift(
+            op, sigma, inner_precision="full")
+        Ym = np.asarray(si_m.apply(B))
+        Yf = np.asarray(si_f.apply(B))
+        np.testing.assert_allclose(Ym, Yf, rtol=1e-8, atol=1e-10)
+
+    def test_refined_generalized_fem(self):
+        from rbl_tpu.ops.generalized import GeneralizedShiftInvertOperator
+        from rbl_tpu.utils.fem import fem_elasticity_3d
+
+        A = fem_elasticity_3d(4)
+        n = A.shape[0]
+        m = np.abs(np.asarray(A.sum(axis=1)).ravel()) + 0.1
+        opA = rt.as_operator(A, dtype=jnp.float64)
+        opM = rt.DiagonalOperator(jnp.asarray(m))
+        msqrt = rt.DiagonalOperator(jnp.asarray(np.sqrt(m)))
+        rng = np.random.default_rng(1)
+        B = jnp.asarray(rng.standard_normal((n, 2)))
+        outs = {}
+        for label in ("mixed", "full"):
+            W = GeneralizedShiftInvertOperator(
+                A=opA, M=opM, msqrt=msqrt,
+                sigma=jnp.asarray(0.0, jnp.float64),
+                inner_tol=1e-11, inner_precision=label,
+            )
+            outs[label] = np.asarray(W.apply(B))
+        np.testing.assert_allclose(
+            outs["mixed"], outs["full"], rtol=1e-7, atol=1e-9
+        )

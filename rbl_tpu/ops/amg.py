@@ -165,17 +165,23 @@ def _aggregate(S: sp.csr_matrix, theta: float) -> np.ndarray:
 
 def _tentative_prolongator(agg: np.ndarray, B: np.ndarray, dof: int):
     """Per-aggregate orthonormalization of the near-nullspace: returns
-    (P_tent sparse (n × na·nb), B_coarse (na·nb, nb))."""
+    (P_tent sparse (n × na·nb), B_coarse (na·nb, nb), agg_meta) —
+    ``agg_meta = (Qpad, perm_padded, posinv)`` is the PERMUTED-AGGREGATE
+    device layout of P_tent: fine dofs grouped by aggregate and padded
+    to the max aggregate size, so the device apply is ONE row gather
+    plus a batched (na, s_max, nb) contraction instead of nnz-scale COO
+    gathers (TPU has no gather unit — see _AggTransfer)."""
     nn = agg.shape[0]
     n = nn * dof
     na = int(agg.max()) + 1
     nb = B.shape[1]
     order = np.argsort(agg, kind="stable")
     bounds = np.searchsorted(agg[order], np.arange(na + 1))
-    rows = np.empty(0, dtype=np.int64)
-    cols = np.empty(0, dtype=np.int64)
-    vals = np.empty(0, dtype=np.float64)
     Bc = np.zeros((na * nb, nb))
+    s_max = int((np.diff(bounds)).max()) * dof
+    Qpad = np.zeros((na, s_max, nb))
+    perm_padded = np.full(na * s_max, n, dtype=np.int32)  # n → zero row
+    posinv = np.zeros(n, dtype=np.int32)
     rlist, clist, vlist = [], [], []
     for a in range(na):
         nodes = order[bounds[a]:bounds[a + 1]]
@@ -189,11 +195,14 @@ def _tentative_prolongator(agg: np.ndarray, B: np.ndarray, dof: int):
         clist.append(np.tile(a * nb + np.arange(nb), m))
         vlist.append(Q.ravel())
         Bc[a * nb : (a + 1) * nb] = Rf
+        Qpad[a, :m] = Q
+        perm_padded[a * s_max : a * s_max + m] = dofs
+        posinv[dofs] = a * s_max + np.arange(m)
     rows = np.concatenate(rlist)
     cols = np.concatenate(clist)
     vals = np.concatenate(vlist)
     P = sp.coo_matrix((vals, (rows, cols)), shape=(n, na * nb)).tocsr()
-    return P, Bc
+    return P, Bc, (Qpad, perm_padded, posinv)
 
 
 def _lambda_max_dinv_a(A: sp.csr_matrix, it: int = 12) -> float:
@@ -274,9 +283,8 @@ class _AMGLevel:
 
 
 class _CooTransfer:
-    """Generic sparse transfer pair (SA path) via RectCooOperator.
-    Portable but gather-bound on TPU — the grid path below is the fast
-    tier for grid-structured meshes."""
+    """Generic sparse transfer pair via RectCooOperator — the portable
+    fallback (nnz-scale segment sums; gather-bound on TPU)."""
 
     def __init__(self, P: sp.csr_matrix, dtype):
         from .spmm.coo import RectCooOperator
@@ -289,6 +297,57 @@ class _CooTransfer:
 
     def restrict(self, F):
         return self.R.apply(F)
+
+
+class _AggTransfer:
+    """Smoothed-aggregation transfer pair in the PERMUTED-AGGREGATE
+    device layout: P = (I − ω D⁻¹A) P_t applied as the tentative
+    aggregate contraction (one (n, b) row gather + one batched
+    (na, s_max, nb) matmul — fine dofs pre-sorted by aggregate and
+    padded to the max aggregate size) followed by one LEVEL-OPERATOR
+    apply (the fast DIA/BSR kernel) for the smoothing term.  Replaces
+    nnz-scale COO segment sums, which the TPU's gather-less memory
+    system runs ~2 orders below the SpMM kernels."""
+
+    def __init__(self, agg_meta, level_op, dinv: np.ndarray, w: float,
+                 nc: int, dtype):
+        Qpad, perm_padded, posinv = agg_meta
+        self.Qpad = jnp.asarray(Qpad, dtype=dtype)
+        self.perm = jnp.asarray(perm_padded)   # (na*s_max,) → [0..n]
+        self.posinv = jnp.asarray(posinv)      # (n,) → padded slot
+        self.op = level_op
+        self.dinv = jnp.asarray(dinv, dtype=dtype)
+        self.w = float(w)
+        self.nc = nc
+
+    def _pt(self, C):
+        na, s_max, nb = self.Qpad.shape
+        C3 = C.reshape(na, nb, -1)
+        Ypad = jnp.einsum(
+            "asn,anb->asb", self.Qpad.astype(C.dtype), C3,
+            preferred_element_type=C.dtype,
+        ).reshape(na * s_max, -1)
+        return jnp.take(Ypad, self.posinv, axis=0)
+
+    def _pt_T(self, F):
+        na, s_max, nb = self.Qpad.shape
+        Fz = jnp.concatenate([F, jnp.zeros_like(F[:1])], axis=0)
+        Xpad = jnp.take(Fz, self.perm, axis=0).reshape(na, s_max, -1)
+        return jnp.einsum(
+            "asn,asb->anb", self.Qpad.astype(F.dtype), Xpad,
+            preferred_element_type=F.dtype,
+        ).reshape(self.nc, -1)
+
+    def prolong(self, C):
+        y = self._pt(C)
+        return y - self.w * self.dinv.astype(y.dtype)[:, None] \
+            * self.op.apply(y)
+
+    def restrict(self, F):
+        t = F - self.w * self.op.apply(
+            self.dinv.astype(F.dtype)[:, None] * F
+        )
+        return self._pt_T(t)
 
 
 class _GridTransfer:
@@ -396,14 +455,17 @@ class AssembledMultigrid:
             levels.append(_AMGLevel(Al, dofl, omega, dtype))
             S = _node_strength_graph(Al, dofl)
             agg = _aggregate(S, theta)
-            Pt, Bc = _tentative_prolongator(agg, Bl, dofl)
+            Pt, Bc, agg_meta = _tentative_prolongator(agg, Bl, dofl)
             # prolongator smoothing: P = (I − ω_P D⁻¹A) P_tent
             lam = _lambda_max_dinv_a(Al)
+            w_p = 4.0 / (3.0 * lam)
             d = Al.diagonal().copy()
             d[d == 0] = 1.0
             Dinv = sp.diags(1.0 / d)
-            P = (Pt - (4.0 / (3.0 * lam)) * (Dinv @ (Al @ Pt))).tocsr()
-            transfers.append(_CooTransfer(P, dtype))
+            P = (Pt - w_p * (Dinv @ (Al @ Pt))).tocsr()
+            transfers.append(_AggTransfer(
+                agg_meta, levels[-1].op, 1.0 / d, w_p, Pt.shape[1], dtype
+            ))
             Al = (P.T @ Al @ P).tocsr()
             Al.sum_duplicates()
             Bl, dofl = Bc, B.shape[1]  # coarse "nodes" carry nb dofs

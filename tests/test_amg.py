@@ -129,3 +129,42 @@ def test_vibration_solve_with_amg_matches_scipy():
     np.testing.assert_allclose(np.sort(w), np.sort(w_ref), rtol=1e-7)
     R = A @ V - (m[:, None] * V) * w[None, :]
     assert np.linalg.norm(R, axis=0).max() < 1e-6
+
+
+def test_agg_transfer_matches_scipy_smoothed_p():
+    """The permuted-aggregate device transfers must equal the scipy
+    smoothed prolongator used for RAP (same operator, two codepaths)."""
+    import scipy.sparse as sp
+
+    from rbl_tpu.ops.amg import (
+        _aggregate,
+        _lambda_max_dinv_a,
+        _node_strength_graph,
+        _tentative_prolongator,
+        _AggTransfer,
+        _AMGLevel,
+    )
+
+    A = fem_elasticity_3d(5)
+    S = _node_strength_graph(A, 3)
+    agg = _aggregate(S, 0.05)
+    B = np.zeros((A.shape[0], 3))
+    for c in range(3):
+        B[c::3, c] = 1.0
+    Pt, Bc, meta = _tentative_prolongator(agg, B, 3)
+    lam = _lambda_max_dinv_a(A)
+    w = 4.0 / (3.0 * lam)
+    d = A.diagonal().copy()
+    d[d == 0] = 1.0
+    P = (Pt - w * (sp.diags(1.0 / d) @ (A @ Pt))).tocsr()
+    lv = _AMGLevel(A, 3, 0.6, jnp.float64)
+    tr = _AggTransfer(meta, lv.op, 1.0 / d, w, Pt.shape[1], jnp.float64)
+    rng = np.random.default_rng(2)
+    C = rng.standard_normal((P.shape[1], 3))
+    F = rng.standard_normal((P.shape[0], 3))
+    np.testing.assert_allclose(
+        np.asarray(tr.prolong(jnp.asarray(C))), P @ C, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr.restrict(jnp.asarray(F))), P.T @ F, atol=1e-11
+    )

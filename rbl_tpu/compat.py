@@ -25,7 +25,11 @@ Differences from ARPACK, stated rather than hidden:
 - ``tol`` is the Ritz-pair residual-bound tolerance ‖A·x − θx‖ (the
   reference's absolute semantics, RBL.jl:109); scipy's ``tol=0``
   ("machine precision") maps to the solver default 1e-7 — the exact
-  tolerance the reference uses for its own ARPACK comparison.
+  tolerance the reference uses for its own ARPACK comparison.  On the
+  standard shift-invert paths the bound is rescaled by a ‖OP‖ estimate
+  so it matches ARPACK's |θ|-relative convergence in OP space (an
+  unscaled absolute bound on OP, whose norm is 1/dist(σ, spec A), would
+  demand orders more accuracy than scipy does).
 - Shift-invert (``sigma``) is supported in ``mode="normal"`` with a
   TPU-native inner solver: OP = (A − σI)⁻¹ applied by blocked MINRES
   (``rbl_tpu.ops.minres``), never factoring A — where ARPACK expects a
@@ -176,6 +180,26 @@ def _auto_inner_psolve(A, sigma: float):
         ).psolve
     except Exception:
         return None  # unusual structure: silently keep the Jacobi tier
+
+
+def _op_norm_scale(si, op, sigma: float) -> float:
+    """‖OP‖ = ‖(A − σI)⁻¹‖ estimate for the θ-space tolerance rescale:
+    exact (1/min-gap) for FDM-supported operators, else a short power
+    estimate on OP itself (a handful of inner solves)."""
+    from .ops.fdm import fdm_min_shift_gap
+
+    gap = fdm_min_shift_gap(op, sigma)
+    if gap is not None and gap > 0:
+        return 1.0 / gap
+    import jax
+
+    from .ops.eig import spectral_norm_bound
+
+    # margin 1.0: an OVER-estimate of ‖OP‖ would loosen the tolerance;
+    # the power under-estimate errs strict, like ARPACK's per-pair |θᵢ|
+    return max(float(spectral_norm_bound(
+        si, jax.random.PRNGKey(17), iters=10, margin=1.0
+    )), 1e-30)
 
 
 def _rayleigh_from_op(op, res, sigma: float):
@@ -347,6 +371,13 @@ def eigsh(
         si = ShiftInvertOperator.shift(
             op, float(sigma), inner_tol=inner_tol, psolve=inner_psolve
         )
+        # ARPACK's convergence under shift-invert is RELATIVE to |θ| in
+        # OP space (scipy tol semantics); our solver's bound is absolute
+        # in θ space, and ‖OP‖ = 1/dist(σ, spec A) can be huge — without
+        # rescaling, eigsh(sigma=...) demands |θ|·tol-times more than
+        # scipy and over-solves by orders of magnitude (measured: the
+        # 512² SM solve ran to λ-relative 1e-11 under tol=1e-6).
+        cfg = cfg.replace(tol=cfg.tol * _op_norm_scale(si, op, float(sigma)))
         if maxiter is not None:
             # ARPACK's maxiter bounds implicit restarts in shift-invert
             # mode too: run the explicitly restarted solver ON the

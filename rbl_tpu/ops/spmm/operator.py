@@ -461,6 +461,11 @@ def as_operator(A, dtype=None, format: str = "auto") -> LinearOperator:
     format="dia" | "bsr" | "ell" | "hyb" | "coo".
     """
     if isinstance(A, LinearOperator):
+        # honor an explicit dtype request: a mismatched operator dtype
+        # poisons downstream lax.while_loop carries with promotions
+        # (e.g. an f64 DiagonalOperator mass under an f32 solve)
+        if dtype is not None and jnp.dtype(A.dtype) != jnp.dtype(dtype):
+            return cast_operator(A, dtype)
         return A
     if (
         type(A).__module__.startswith("jax.experimental.sparse")

@@ -641,3 +641,21 @@ def test_project_out_chunked_f64_branch_matches(monkeypatch):
     monkeypatch.setattr(ro, "_X64_SPLIT_BUDGET_BYTES", 0)
     out = np.asarray(ro.project_out(B, W))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_as_operator_casts_linear_operator_dtype():
+    """An explicit dtype request must cast an existing LinearOperator
+    (a mismatched mass-matrix dtype poisoned while_loop carries in the
+    f32 generalized path)."""
+    import jax.numpy as jnp
+
+    from rbl_tpu.ops.spmm.operator import as_operator
+
+    d64 = rt.DiagonalOperator(jnp.asarray(np.arange(1.0, 11.0)))
+    assert jnp.dtype(d64.dtype) == jnp.float64
+    d32 = as_operator(d64, dtype=jnp.float32)
+    assert jnp.dtype(d32.dtype) == jnp.float32
+    X = jnp.ones((10, 2), jnp.float32)
+    assert d32.apply(X).dtype == jnp.float32
+    # no request: unchanged instance
+    assert as_operator(d64) is d64

@@ -439,6 +439,14 @@ def _pick_sparse_format(A, dtype):
             fill = A.nnz / max(len(ukey) * bm * 128, 1)
             if fill >= 0.02:
                 return "bsr", plan
+    # No MXU-kernel tier here (f64, or a non-TPU backend): DIA's static
+    # shifted adds beat the gather-bound ELL scan whenever the matrix
+    # fits the diagonal format at all — measured on the f64 fem3d-16
+    # stiffness (~243 diagonals): ELL 4.37 ms vs DIA ~1 ms class
+    # (f32 DIA: 0.129 ms).  The old rule sent every >64-diagonal f64
+    # matrix to the scan (tpu_*_amg_diag.log, round 3).
+    if ndiags <= 256:
+        return "dia", None
     # ELL pads every row to the max row nnz: under row-length skew
     # (power-law graphs, a few dense rows) that multiplies memory and scan
     # length by the skew factor — route to HYB (capped ELL + COO overflow)

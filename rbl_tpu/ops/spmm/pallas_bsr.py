@@ -386,18 +386,23 @@ def _tile_census(A, bm: int, bk: int):
 
 
 # Calibrated on TPU v5e 2026-08-20 (benchmarks/results/tpu_*_spmm3.log,
-# *_tile_sweep.log): each grid step costs ~0.25 us of pipeline overhead
-# — the HBM-time equivalent of ~200 kB at the ~800 GB/s roofline.  The
-# model reproduced the measured ordering on both benchmark fixtures
-# (fem3d: predicted 128x128 over 16x128, measured 1.64 vs 5.67 ms;
-# blocky: predicted and measured 16x128 ahead of 128x128).
-_STEP_COST_BYTES = 200_000
-_SMEM_TILE_IDS_BYTES = 512 * 1024
+# *_tile_sweep.log, round-3 *_resident_sweep.log): each grid step costs
+# ~0.25-0.5 us of pipeline overhead — the HBM-time equivalent of
+# ~280 kB at the ~800 GB/s roofline.  The resident-RHS sweep showed the
+# step term DOMINATES at fine tiles: blocky-64k (16x128) runs 3.42 ms at
+# U=32/H=1 (1.07 GB padded) vs 4.21 ms at U=16/H=2 (0.62 GB) — 70% more
+# bytes beats 2x the steps.  The model reproduced the measured ordering
+# on both benchmark fixtures.
+_STEP_COST_BYTES = 280_000
+# ~1 MB SMEM total (CLAUDE.md gotcha 6); 768 kB leaves margin for the
+# grid bookkeeping — the 557 kB blocky-64k (16,32) plan builds and runs
+# (round-3 resident sweep), which the old 512 kB budget wrongly rejected
+_SMEM_TILE_IDS_BYTES = 768 * 1024
 
 
 def pick_tile_plan(A, bk: int = 128,
                    heights=(128, 64, 32, 16),
-                   unrolls=(4, 8, 16)) -> tuple[int, int]:
+                   unrolls=(4, 8, 16, 32)) -> tuple[int, int]:
     """Jointly choose (tile height, unroll) minimizing modeled apply time.
 
     Finer tiles store fewer zeros but multiply the grid-step count (each
@@ -412,6 +417,12 @@ def pick_tile_plan(A, bk: int = 128,
     for bm in heights:
         _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
         for U in unrolls:
+            # U=32 is measured only at bm=16 (resident sweep: 3.42 ms,
+            # the fixture best); at taller tiles its padded bytes grow
+            # past what the uniform-bandwidth model can rank — restrict
+            # until measured
+            if U >= 32 and bm > 16:
+                continue
             chunks = np.maximum(-(-counts // U), 1)
             tiles_padded = int(chunks.sum()) * U
             # SMEM holds ALL THREE scalar-prefetch arrays: tile_cols

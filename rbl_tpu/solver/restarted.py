@@ -221,6 +221,24 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             QV = recover_eigvec(store, Vp)
             nrm = jnp.linalg.norm(QV, axis=0)
             QV = QV / jnp.where(nrm > 0, nrm, 1.0)
+            # GHOST GATE: on extreme-dominance spectra at low precision,
+            # deflation leaks (eps-level) re-amplify by |λ|max/|λ|min per
+            # iteration and the sweep re-converges an ALREADY-LOCKED
+            # direction with a small (lying) residual bound — locking it
+            # displaces a true pair (measured: f32 step-decay with
+            # |λ|max/sea = 2e6 locked a duplicate; final values off by
+            # 54%).  A true new pair of a symmetric matrix is orthogonal
+            # to the locked set, so reject candidates with significant
+            # overlap; the truncated prefix seeds the restart instead.
+            if state.count:
+                ov = np.abs(
+                    np.asarray(state.lock_buf[:, : state.count]).T
+                    @ np.asarray(QV[:, :ncomp])
+                )
+                bad = np.nonzero(ov.max(axis=0) > 0.1)[0]
+                if bad.size:
+                    ncomp = int(bad[0])  # keep the clean prefix only
+        if ncomp:
             for t in range(ncomp):
                 state.lock_buf = _write_block(
                     state.lock_buf, QV[:, t : t + 1],

@@ -75,3 +75,27 @@ def test_sa_la_respect_descending_abs_contract():
                             which=which)
         mags = np.abs(res.eigenvalues)
         assert np.all(np.diff(mags) <= 1e-12), (which, res.eigenvalues)
+
+
+def test_restarted_f32_extreme_dominance_no_ghost_lock():
+    """Ghost gate (round 3): on the step-decay spectrum at f32, deflation
+    leaks re-amplify by |λ|max/sea ≈ 2e6 per iteration and the sweep
+    re-converges already-locked directions with lying residual bounds —
+    without the overlap gate a duplicate got locked (values off 54%,
+    measured on TPU batch Q).  Locked values must match the true top-k
+    to the f32 floor."""
+    import jax.numpy as jnp
+
+    n, k = 100_000, 6
+    d = np.ones(n)
+    d[: 2 * k] = (np.arange(2 * k, 0, -1)) * float(n)
+    A = rt.DiagonalOperator(jnp.asarray(d, jnp.float32))
+    exact = np.sort(d)[::-1][:k]
+    res = rbl_restarted(
+        A, k, b=2,
+        cfg=rt.RBLConfig(seed=0, basis_dtype=jnp.float32,
+                         compute_dtype=jnp.float32),
+    )
+    w = np.sort(np.asarray(res.eigenvalues))[::-1]
+    assert len(w) == k
+    assert np.abs((w - exact) / exact).max() < 1e-4

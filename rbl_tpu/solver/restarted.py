@@ -113,6 +113,7 @@ def rbl_restarted(
     state: Optional[RestartState] = None,
     which: str = "LM",
     v0: Optional[Any] = None,
+    warm_V: Optional[Any] = None,
 ) -> LanczosResult:
     """Restarted + deflated RBL — reference `RBL_gpu_restarted(A, k)`
     (restarted.jl:97-146) with block size b (reference fixes b=1).
@@ -125,7 +126,19 @@ def rbl_restarted(
     initial sampling block (scipy convention).
 
     Pass ``checkpoint_path`` to persist the restart state each sweep, and/or
-    ``state`` (e.g. from utils.checkpoint.load_restart_state) to resume."""
+    ``state`` (e.g. from utils.checkpoint.load_restart_state) to resume.
+
+    ``warm_V`` optionally supplies an (n, ≥1) block of approximate
+    eigenvectors ordered as this solve locks (descending |λ| for LM) —
+    e.g. from a converged low-precision solve (solver/polish.py).  The
+    initial block and, after each productive restart, the next start block
+    are seeded from the columns aligned with the not-yet-locked pairs
+    instead of from randomness / the sweep's own Ritz vectors; a restart
+    that locks nothing falls back to the sweep-Ritz seed (the f64 sweep's
+    own refinement), which is the progress guarantee.  Eigenvectors are
+    shift-invariant, so the same ``warm_V`` is valid for LA/SA (the
+    ordering conventions of ``rbl``'s results match the shifted sweep's
+    locking order)."""
     cfg = cfg or RBLConfig()
     cfg = cfg.replace(block_size=b)
     op = as_operator(A, dtype=cfg.compute_dtype)
@@ -146,7 +159,8 @@ def rbl_restarted(
             op = AffineOperator.shift(op, 1.0 if which == "LA" else -1.0,
                                       shift)
         res = _rbl_restarted_impl(
-            op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0
+            op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0,
+            warm_V=warm_V,
         )
         if which != "LM":
             # un-shift, then restore LanczosResult's documented order
@@ -168,8 +182,23 @@ def rbl_restarted(
         return res
 
 
+def _warm_block(warm_V, start: int, b: int, n: int, cfg, sharding):
+    """Start block from warm_V[:, start:start+b], random-padded to width b.
+
+    The sweep entry deflates + re-orthonormalizes (see _restarted_sweep), so
+    raw warm columns are fine here."""
+    blk = jnp.asarray(warm_V)[:, start : start + b].astype(cfg.basis_dtype)
+    if blk.shape[1] < b:
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 7919 + start)
+        pad = jax.random.normal(key, (n, b - blk.shape[1]), dtype=blk.dtype)
+        blk = jnp.concatenate([blk, pad], axis=1)
+    if sharding is not None:
+        blk = jax.device_put(blk, sharding)
+    return blk
+
+
 def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
-                        checkpoint_path, state, v0=None):
+                        checkpoint_path, state, v0=None, warm_V=None):
     n = op.n
     from .rbl import _row_sharding
 
@@ -177,8 +206,12 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
     lock_cols = max(k, 1)
 
     if state is None:
-        key = jax.random.PRNGKey(cfg.seed)
-        Qi = random_start_block(op, key, b, cfg, sharding=sharding, v0=v0)
+        if warm_V is not None:
+            Qi = _warm_block(warm_V, 0, b, n, cfg, sharding)
+        else:
+            key = jax.random.PRNGKey(cfg.seed)
+            Qi = random_start_block(op, key, b, cfg, sharding=sharding,
+                                    v0=v0)
         lock_buf = jnp.zeros((n, lock_cols), dtype=cfg.basis_dtype)
         if sharding is not None:
             lock_buf = jax.device_put(lock_buf, sharding)
@@ -247,7 +280,19 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             state.locked_values[state.count : state.count + ncomp] = w[:ncomp]
         next_start = None
         j = ncomp
-        if state.count + ncomp < k and j < len(w):
+        # warm-started polish (rbl_polished): after a PRODUCTIVE restart,
+        # seed from the warm columns aligned with the next unlocked pairs —
+        # the low-precision eigenvector of pair count+ncomp is a far better
+        # start than a short sweep's trailing Ritz vector.  A restart that
+        # locked nothing keeps the sweep-Ritz seed (the f64 refinement of
+        # whatever the sweep was already chasing) so stalls still progress.
+        warm_seed = (
+            warm_V is not None
+            and ncomp > 0
+            and state.count + ncomp < k
+            and np.asarray(warm_V).shape[1] > state.count + ncomp
+        )
+        if state.count + ncomp < k and j < len(w) and not warm_seed:
             # restart block: the first b unconverged Ritz vectors (the
             # reference takes one, b=1 — restarted.jl:131-133); fewer
             # than b available → pad with fresh randomness, which the
@@ -257,7 +302,9 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
         state.count += ncomp
         state.kryl_dim += cfg.restart_growth
         state.restarts += 1
-        if next_start is not None:
+        if warm_seed:
+            state.Qi = _warm_block(warm_V, state.count, b, n, cfg, sharding)
+        elif next_start is not None:
             blk = jnp.asarray(next_start)
             if blk.shape[1] < b:
                 key = jax.random.fold_in(

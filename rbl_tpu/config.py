@@ -93,6 +93,15 @@ class RBLConfig:
         reason to pay a device→host round-trip per cadence window (each
         costs a full RPC on a remote-attached TPU).  1 disables growth
         (fixed reference-style cadence windows).
+    chunk_growth_cap_f64:
+        Override of ``chunk_growth_cap`` for f64 compute on TPU, where X64
+        emulation roughly triples program size and every DISTINCT chunk
+        length is a separate XLA compile — measured cold f64 solves spend
+        2000+ s in compiles over the remote tunnel while the warm solve is
+        ~22 s (BENCHMARKS.md).  Default 1 pins f64-on-TPU chunks at the
+        poll cadence: one compiled chunk program instead of a 16/32/64
+        ladder, at the cost of a few extra ~30 ms RPC boundaries per
+        sweep.  None defers to ``chunk_growth_cap``.
     pipeline_depth:
         Number of sweep chunks kept in flight ahead of the one whose T
         blocks the host is reading.  At depth ≥ 2 the blocking device→host
@@ -144,6 +153,7 @@ class RBLConfig:
     hbm_budget_fraction: float = 0.8
     basis_device_cap_cols: Optional[int] = None
     chunk_growth_cap: int = 4
+    chunk_growth_cap_f64: Optional[int] = 1
     pipeline_depth: int = 2
     adaptive_reorth_max: int = 1
     matmul_precision: str = "high"
@@ -194,6 +204,18 @@ class RBLConfig:
             raise ValueError(
                 f"unknown matmul_precision: {self.matmul_precision!r}"
             )
+
+    def resolved_chunk_growth_cap(self) -> int:
+        """``chunk_growth_cap``, clamped by ``chunk_growth_cap_f64`` when
+        the compute dtype is f64 and the backend emulates it (TPU — same
+        predicate as the mixed-precision inner-solve auto, ops/minres.py)."""
+        if (self.chunk_growth_cap_f64 is not None
+                and jnp.dtype(self.compute_dtype) == jnp.float64):
+            import jax
+
+            if jax.default_backend() == "tpu":
+                return min(self.chunk_growth_cap, self.chunk_growth_cap_f64)
+        return self.chunk_growth_cap
 
     def resolved_qr_method(self) -> str:
         if self.qr_method != "auto":

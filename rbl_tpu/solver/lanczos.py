@@ -708,6 +708,9 @@ def lanczos_iteration(
     ck_path = cfg.sweep_checkpoint_path
     ck_every = cfg.sweep_checkpoint_every
     abort_after = cfg.fault_inject_abort_after_chunks
+    # f64-on-TPU pins growth (each distinct chunk length is a separate
+    # X64-emulated compile — RBLConfig.chunk_growth_cap_f64)
+    growth_cap = cfg.resolved_chunk_growth_cap()
 
     def dispatch():
         """Launch one chunk against the current device state (async)."""
@@ -728,12 +731,12 @@ def lanczos_iteration(
         # selective mode is sticky, so its chunks are never discarded by a
         # policy flip — growth and deep pipelining stay on (unlike danger)
         if (
-            cfg.chunk_growth_cap > 1
+            growth_cap > 1
             and not danger
             and calm_chunks >= 2
             and lock_basis is None
         ):
-            grow = min(cfg.chunk_growth_cap, 2 << (n_chunks // 2))
+            grow = min(growth_cap, 2 << (n_chunks // 2))
             n_chunks += 1
         else:
             grow = 1

@@ -225,8 +225,17 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
 
     while state.count < k and state.restarts < max_restarts:
         sweep_cfg = cfg.replace(restart_kryl_dim=state.kryl_dim)
+        # Bucket the store capacity at the next power of two: capacity is
+        # an operand shape of every fused chunk program, so successive
+        # restarts (kryl_dim + restart_growth each round) would otherwise
+        # each compile their own late-sweep chunks — ruinous for emulated
+        # f64 over the remote tunnel (each compile 20-60+ s, CLAUDE.md
+        # gotcha 5).  The sweep itself still stops at kryl_dim; padding
+        # columns stay zero (basis invariant).
+        cap = state.kryl_dim + b
         store = BasisStore(
-            n, b, max_cols=state.kryl_dim + b, dtype=cfg.basis_dtype,
+            n, b, max_cols=1 << (cap - 1).bit_length(),
+            dtype=cfg.basis_dtype,
             init_cols=cfg.min_basis_cols, sharding=sharding,
         )
         w, V, bounds = _restarted_sweep(

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import rbl_tpu as rt
 from rbl_tpu.config import RBLConfig
 from rbl_tpu.solver.polish import rbl_polished
+from rbl_tpu.utils.probe import solve_with_retry, wait_until_healthy
 
+assert wait_until_healthy(attempts=20, sleep_s=60), "worker never recovered"
 nx, k, b = 256, 50, 8
 ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
 exact = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:k]
@@ -30,7 +32,8 @@ for run, seed in (("cold", 0), ("warm", 1)):
     cfg = RBLConfig(block_size=b, tol=1e-7, qr_method="cholqr2",
                     eig_poll_cadence=16, seed=seed)
     t0 = time.perf_counter()
-    res = rbl_polished(op, k, cfg=cfg, b=b)
+    res = solve_with_retry(rbl_polished, op, k, cfg=cfg, b=b,
+                           retries=1, attempts=10, sleep_s=60)
     el = time.perf_counter() - t0
     w = np.sort(np.asarray(res.eigenvalues))[::-1]
     kk = min(len(w), k)
@@ -51,7 +54,9 @@ import rbl_tpu as rt
 from rbl_tpu.config import RBLConfig
 from rbl_tpu.solver.polish import rbl_polished
 from rbl_tpu.utils.fem import fem_elasticity_3d
+from rbl_tpu.utils.probe import solve_with_retry, wait_until_healthy
 
+assert wait_until_healthy(attempts=20, sleep_s=60), "worker never recovered"
 gt = np.load("benchmarks/groundtruth/fem42_lm_k100.npz")["eigenvalues"]
 k, b = 100, 8
 A = fem_elasticity_3d(42)
@@ -60,7 +65,9 @@ for run, seed in (("cold", 0), ("warm", 1)):
                     eig_poll_cadence=16, seed=seed)
     t0 = time.perf_counter()
     # coarse f32 floor on ||A||~5.4 is ~1e-6: coarse_tol 1e-5
-    res = rbl_polished(A, k, cfg=cfg, b=b, coarse_tol=1e-5)
+    res = solve_with_retry(rbl_polished, A, k, cfg=cfg, b=b,
+                           coarse_tol=1e-5, retries=1, attempts=10,
+                           sleep_s=60)
     el = time.perf_counter() - t0
     w = np.sort(np.asarray(res.eigenvalues, dtype=np.float64))[::-1]
     kk = min(len(w), k)
@@ -81,7 +88,9 @@ import jax.numpy as jnp
 import rbl_tpu as rt
 from rbl_tpu.config import RBLConfig
 from rbl_tpu.solver.polish import rbl_polished
+from rbl_tpu.utils.probe import solve_with_retry, wait_until_healthy
 
+assert wait_until_healthy(attempts=20, sleep_s=60), "worker never recovered"
 nx, k, b = 512, 50, 8
 ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
 exact = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:k]
@@ -90,7 +99,8 @@ for run, seed in (("cold", 0), ("warm", 1)):
     cfg = RBLConfig(block_size=b, tol=1e-7, qr_method="cholqr2",
                     eig_poll_cadence=16, seed=seed)
     t0 = time.perf_counter()
-    res = rbl_polished(op, k, cfg=cfg, b=b)
+    res = solve_with_retry(rbl_polished, op, k, cfg=cfg, b=b,
+                           retries=1, attempts=10, sleep_s=60)
     el = time.perf_counter() - t0
     w = np.sort(np.asarray(res.eigenvalues))[::-1]
     kk = min(len(w), k)

@@ -84,3 +84,22 @@ def test_polished_cold_fallback_on_nonfinite_warm(monkeypatch):
     res = rbl_polished(op, k, cfg=RBLConfig(tol=1e-8, seed=0), b=2)
     assert res.converged
     np.testing.assert_allclose(res.eigenvalues, a[::-1][:k], rtol=1e-9)
+
+
+def test_polished_sharded_mesh(eight_devices):
+    """Both polish stages must run under a row mesh: the f32 coarse sweep,
+    the warm-block placement, and the f64 restarted polish all inherit
+    cfg.mesh (SURVEY §2c sharded-basis strategy)."""
+    import jax.numpy as jnp
+
+    from rbl_tpu.parallel.dist_spmm import ShardedLaplacian2D
+    from rbl_tpu.parallel.mesh import make_row_mesh
+
+    mesh = make_row_mesh(8)
+    nx, k, b = 24, 4, 2
+    op = ShardedLaplacian2D(nx=nx, ny=nx, mesh=mesh, _dtype=jnp.float64)
+    cfg = RBLConfig(block_size=b, tol=1e-7, mesh=mesh, seed=0)
+    res = rbl_polished(op, k, cfg=cfg, b=b)
+    assert res.converged
+    w = np.sort(np.asarray(res.eigenvalues))[::-1]
+    np.testing.assert_allclose(w, _lap2d_exact(nx, k), rtol=1e-8)

@@ -103,3 +103,18 @@ def test_polished_sharded_mesh(eight_devices):
     assert res.converged
     w = np.sort(np.asarray(res.eigenvalues))[::-1]
     np.testing.assert_allclose(w, _lap2d_exact(nx, k), rtol=1e-8)
+
+
+def test_warm_block_pads_missing_columns():
+    from rbl_tpu.config import RBLConfig as C
+    from rbl_tpu.solver.restarted import _warm_block
+
+    n, b = 50, 3
+    warm = np.zeros((n, 4))
+    warm[7, 3] = 1.0  # only column index 3 exists past start=3
+    blk = np.asarray(_warm_block(warm, 3, b, n, C(), None))
+    assert blk.shape == (n, b)
+    np.testing.assert_allclose(blk[:, 0], warm[:, 3])
+    # padded columns are fresh randomness, not zeros (a zero start column
+    # would make the sweep's first QR rank-deficient by construction)
+    assert np.linalg.norm(blk[:, 1]) > 0 and np.linalg.norm(blk[:, 2]) > 0

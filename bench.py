@@ -122,10 +122,21 @@ def main():
             times.append(time.perf_counter() - t0)
         measured_baseline = baseline_s = min(times)
 
-    run(timed=False, seed=0)  # warm the compile caches
+    # Guard the round's one recorded artifact against the measured
+    # post-OOM silent-garbage worker state (BENCHMARKS.md): retry each
+    # dispatch once after a value-checked health wait instead of asserting
+    # into a crash / recording NaN-poisoned numbers.
+    from rbl_tpu.utils.probe import solve_with_retry
+
+    def _finite(t):
+        return bool(np.all(np.isfinite(np.asarray(t[1].eigenvalues))))
+
+    solve_with_retry(run, False, seed=0, retries=1, attempts=6,
+                     sleep_s=30, validate=_finite)  # warm the compile caches
     best = None
     for rep in (1, 2, 3):  # best-of-3 distinct seeds: tunnel RPC variance
-        dt, res = run(timed=True, seed=rep)
+        dt, res = solve_with_retry(run, True, seed=rep, retries=1,
+                                   attempts=6, sleep_s=30, validate=_finite)
         if best is None or dt < best[0]:
             best = (dt, res)
     dt, res = best
@@ -155,23 +166,27 @@ def main():
 
         import rbl_tpu as rt
         from rbl_tpu.config import RBLConfig
+        from rbl_tpu.solver.polish import rbl_polished
 
+        # the plain f64 sweep cap-hits (rel 9.7e-3 at cap 832; larger caps
+        # OOM under X64 — BENCHMARKS.md): the warm-started f32→f64 polish
+        # is the path that can actually reach the 1e-7 bound here
         op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float64)
-        cfg = RBLConfig(block_size=8, basis_dtype=jnp.float64,
-                        compute_dtype=jnp.float64, tol=1e-7,
-                        max_kryl_dim=1400, eig_poll_cadence=16, seed=0)
-        rt.rbl(op, 50, 8, cfg=cfg, compute_eigenvectors=True)  # warm
+        cfg = RBLConfig(block_size=8, tol=1e-7, qr_method="cholqr2",
+                        eig_poll_cadence=16, seed=0)
+        rbl_polished(op, 50, cfg=cfg, b=8)  # warm
         t0 = time.perf_counter()
-        res = rt.rbl(op, 50, 8, cfg=cfg.replace(seed=1),
-                     compute_eigenvectors=True)
+        res = rbl_polished(op, 50, cfg=cfg.replace(seed=1), b=8)
         float(res.eigenvectors[0, 0])
         ref_dt = time.perf_counter() - t0
-        lam50 = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:50]
-        rel7 = float(np.max(np.abs(np.asarray(res.eigenvalues) - lam50)
-                            / lam50))
+        w7 = np.sort(np.asarray(res.eigenvalues))[::-1]
+        lam50 = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(w7)]
+        rel7 = float(np.max(np.abs(w7 - lam50) / lam50)) if len(w7) else -1.0
         out["at_ref_tol_s"] = round(ref_dt, 3)
         out["ref_tol"] = 1e-7
         out["ref_tol_max_rel_err"] = rel7
+        out["ref_tol_locked"] = int(len(w7))
+        out["ref_tol_converged"] = bool(res.converged)
     if measured_baseline is not None:
         out["baseline_measured_s"] = round(measured_baseline, 3)
     print(json.dumps(out))

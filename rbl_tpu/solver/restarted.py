@@ -114,6 +114,7 @@ def rbl_restarted(
     which: str = "LM",
     v0: Optional[Any] = None,
     warm_V: Optional[Any] = None,
+    poll_ahead: Optional[int] = None,
 ) -> LanczosResult:
     """Restarted + deflated RBL — reference `RBL_gpu_restarted(A, k)`
     (restarted.jl:97-146) with block size b (reference fixes b=1).
@@ -138,7 +139,16 @@ def rbl_restarted(
     own refinement), which is the progress guarantee.  Eigenvectors are
     shift-invariant, so the same ``warm_V`` is valid for LA/SA (the
     ordering conventions of ``rbl``'s results match the shifted sweep's
-    locking order)."""
+    locking order).
+
+    ``poll_ahead`` caps how many UNLOCKED pairs each sweep's convergence
+    poll targets (the locking is prefix-only regardless).  The reference's
+    all-or-nothing bound over every remaining pair (common.jl:56-65) makes
+    a sweep run to its cap whenever the trailing pairs are slow — measured
+    on a clustered top-50: 22 restarts locked only 16 pairs because each
+    104-dim sweep chased all 34+ remaining bounds.  Polling just the next
+    ~2b pairs lets a sweep break as soon as its seeded group converges.
+    None keeps the reference semantics."""
     cfg = cfg or RBLConfig()
     cfg = cfg.replace(block_size=b)
     op = as_operator(A, dtype=cfg.compute_dtype)
@@ -160,7 +170,7 @@ def rbl_restarted(
                                       shift)
         res = _rbl_restarted_impl(
             op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0,
-            warm_V=warm_V,
+            warm_V=warm_V, poll_ahead=poll_ahead,
         )
         if which != "LM":
             # un-shift, then restore LanczosResult's documented order
@@ -198,7 +208,8 @@ def _warm_block(warm_V, start: int, b: int, n: int, cfg, sharding):
 
 
 def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
-                        checkpoint_path, state, v0=None, warm_V=None):
+                        checkpoint_path, state, v0=None, warm_V=None,
+                        poll_ahead=None):
     n = op.n
     from .rbl import _row_sharding
 
@@ -238,9 +249,12 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             dtype=cfg.basis_dtype,
             init_cols=cfg.min_basis_cols, sharding=sharding,
         )
+        k_rem = max(k - state.count, 1)
+        if poll_ahead is not None:
+            k_rem = min(k_rem, max(int(poll_ahead), 1))
         w, V, bounds = _restarted_sweep(
             op, sweep_cfg, state.Qi, store, state.lock_buf, timer,
-            k_rem=max(k - state.count, 1),
+            k_rem=k_rem,
         )
         # Converged prefix: pairs are locked in order until the first
         # unconverged one (which seeds the restart) or k is reached.

@@ -1,41 +1,281 @@
-"""Warm-started mixed-precision solve: f32 sweep → f64 restarted polish.
+"""Warm-started mixed-precision solve: f32 discovery → f64 Chebyshev polish.
 
 Motivation (measured, BENCHMARKS.md "At the reference's own tolerance"):
 at the reference's absolute 1e-7 residual bound (RBL.jl:109) a clustered
-spectrum needs restarts (ARPACK's own mechanism), and a full-f64 sweep on
-TPU pays both the X64-emulation compile/compute tax and an HBM wall (the
-512² basis OOMs above kryl ≈ 832).  But f32 sweeps are 10-40× cheaper and
-reach an absolute residual floor of ~30·eps_f32·‖A‖ ≈ 1e-5-class — which
-is an excellent WARM START: eigenvectors accurate to ~1e-5 in angle leave
-the f64 restarted solver only the last 2-3 digits to earn, with short
-sweeps and a basis bounded by the sweep length (not the full-solve cap).
+spectrum defeats Krylov sweeps outright — the 256² Laplacian's top-50
+relative gaps are ~1e-5, so a 104-column restarted sweep reduces a warm
+1e-4 residual by ~(1 − 2√gap)ᵐ ≈ nothing (the round-3 recorded run locked
+0/50 pairs in 22 restarts, tpu_20260821_0645_polish_256.log).  ARPACK
+solves it by *implicit restarting over thousands of effective iterations*;
+the TPU-native answer is cheaper and simpler: the f32 stage already
+delivers the whole wanted subspace to ~1e-5 accuracy, and polishing a
+KNOWN subspace is a job for **Chebyshev-filtered subspace iteration**
+(Zhou–Saad Chebyshev–Davidson / ChASE lineage), not for growing a new
+Krylov basis:
 
-Pipeline:
-  1. coarse: f32/f32 plain sweep (`rbl`) at a relaxed tolerance — fast,
-     no X64 emulation anywhere.
-  2. polish: f64 restarted+deflating solve (`rbl_restarted`) whose start
-     block and per-restart seeds are the coarse eigenvectors aligned with
-     the not-yet-locked pairs (``warm_V`` — restarted.py).
+  1. coarse: f32/f32 plain sweep (`rbl`) for k + buffer pairs at a relaxed
+     tolerance — fast, no X64 emulation anywhere.
+  2. polish: f64 block iteration on the warm (n, k+q+r) block:
+     Rayleigh–Ritz → true residuals → one degree-d Chebyshev filter pass →
+     repeat.  Per pass the unwanted component of every wanted pair shrinks
+     by p(λ_i)/τ = cosh(d·acosh(x_i)) — with a q ≈ 32-pair buffer setting
+     the cutoff at θ_{k+q}, a degree of a few hundred gains 10³–10⁵ per
+     pass, so 2–3 passes close 1e-4 → 1e-7.  Everything is block SpMM and
+     tall GEMM (MXU work, two compiled programs total), the cluster is
+     handled *inside* the Rayleigh–Ritz (cluster rotation is invisible to
+     subspace error), and memory is O(n·(k+q)) — no Krylov basis at all.
 
 This is the TPU answer to the role the reference's FLOAT/DOUBLE precision
 pair plays (common.jl:5-6, README.md:69 mixed-precision rationale): the
 reference spends FLOAT on the reorth/buffer tier inside one f64 sweep; on
 TPU (no native f64 MXU) the winning split is f32 for the WHOLE subspace
-discovery and f64 only for the final polish.
+discovery and f64 only for the final filtered polish.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+import math
+from functools import partial
+from typing import Any, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import RBLConfig
+from ..ops.chebyshev import ChebyshevFilterOperator
+from ..ops.contract import gram
+from ..ops.qr import block_qr
+from ..ops.spmm.operator import AffineOperator, as_operator
 from .lanczos import LanczosResult
 from .rbl import rbl
-from .restarted import rbl_restarted
+
+
+@jax.jit
+def _rr_gram(op, X):
+    """A·X and the (m, m) Rayleigh–Ritz matrix XᵀAX in one dispatch."""
+    AX = op.apply(X)
+    return gram(X, AX), AX
+
+
+@jax.jit
+def _rr_rotate(X, AX, Y, theta):
+    """Rotate the block onto the Ritz vectors and return TRUE absolute
+    residual norms ‖A·x_i − θ_i·x_i‖ (the reference's convergence quantity,
+    common.jl:56-65 — not the Lanczos bound, which lies once a basis
+    degrades)."""
+    pet = X.dtype
+    Xr = jnp.dot(X, Y, preferred_element_type=pet)
+    AXr = jnp.dot(AX, Y, preferred_element_type=pet)
+    R = AXr - Xr * theta[None, :]
+    return Xr, jnp.sqrt(jnp.sum(R * R, axis=0))
+
+
+@partial(jax.jit, static_argnames=("degree", "qr_method"))
+def _filter_qr(op, X, a, b, gamma, degree, qr_method):
+    """One Chebyshev filter pass + re-orthonormalization.
+
+    The filtered columns' norms spread by p(λ₁)/τ (up to ~10⁷), which would
+    square into the Gram condition and sink CholeskyQR — normalize columns
+    FIRST, then the Gram matrix's condition reflects only angles (near 1
+    for a near-converged block) and cholqr2 is exact to f64 rounding.
+    a/b/gamma are 0-d leaves: interval moves between passes hit the jit
+    cache; only a degree change recompiles."""
+    fop = ChebyshevFilterOperator(
+        base=op, a=a, b=b, gamma=gamma, degree=degree
+    )
+    Y = fop.apply(X)
+    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
+    Y = Y / jnp.where(nrm > 0, nrm, 1.0)
+    Q, _ = block_qr(Y, method=qr_method)
+    return Q
+
+
+def _auto_degree(x: float, gain: float, cap: int) -> int:
+    """Smallest d with cosh(d·acosh(x)) ≥ gain (filter gain at relative
+    coordinate x > 1), clamped to [8, cap]."""
+    if not np.isfinite(x) or x <= 1.0 + 1e-15:
+        return cap
+    d = math.acosh(2.0 * gain) / math.acosh(x)
+    return int(min(cap, max(8, math.ceil(d))))
+
+
+def chebyshev_refine(
+    A: Any,
+    warm_V: Any,
+    k: int,
+    cfg: Optional[RBLConfig] = None,
+    *,
+    which: str = "LM",
+    bounds: Optional[Tuple[Optional[float], Optional[float]]] = None,
+    degree: Optional[int] = None,
+    max_passes: int = 12,
+    extra_random: Optional[int] = None,
+    target_gain: float = 1e4,
+    degree_cap: int = 500,
+    timer=None,
+) -> LanczosResult:
+    """Polish approximate eigenvectors to cfg.tol (absolute residual) by
+    Chebyshev-filtered subspace iteration in cfg.compute_dtype.
+
+    warm_V: (n, m) block of approximate eigenvectors for the wanted end,
+        m ≥ k; extra columns beyond k act as the convergence buffer — the
+        filter cutoff sits below the m-th Ritz value, so the wanted k gain
+        cosh(d·acosh(x_k)) per pass while the buffer absorbs the slow edge.
+    which: "LM" (descending |λ|), "LA" (descending λ), "SA" (ascending λ —
+        solved as LA of −A).  LM with no certified lower bound uses the
+        symmetric damped interval [−θ̃, θ̃] (correct for mixed-sign
+        spectra; √2 more degree than one-sided).
+    bounds: optional (λ_min, λ_max) certification for A's spectrum (either
+        entry None).  λ_min = 0 for PSD operators halves the damped
+        interval — the filter degree drops ~√2.
+    degree: fixed filter degree (default: per-pass auto from the Ritz
+        geometry, targeting ``target_gain`` per pass, capped at
+        ``degree_cap``; raised 1.5× on a stalled pass).
+    extra_random: random columns appended to warm_V (default block_size) —
+        rank-deficiency repair and the escape hatch for any wanted
+        direction the coarse stage missed entirely (the filter amplifies
+        its component out of the random seed).
+
+    Returns LanczosResult with eigenvalues/eigenvectors/residual_bounds
+    for the k wanted pairs (Rayleigh–Ritz values against the true A —
+    these carry f64 RR accuracy, tighter than polished Lanczos T values);
+    ``iterations`` counts filter passes.
+    """
+    cfg = cfg or RBLConfig()
+    which = which.upper()
+    if which not in ("LM", "LA", "SA"):
+        raise ValueError(f"which={which!r} not in ('LM', 'LA', 'SA')")
+    cdt = jnp.dtype(cfg.compute_dtype)
+    base = as_operator(A, dtype=cdt)
+    n = base.n
+    # SA = LA of −A (eigenvectors invariant; values negated back at exit)
+    op = base if which != "SA" else AffineOperator.shift(base, -1.0, 0.0)
+
+    lo_u = hi_u = None
+    if bounds is not None:
+        lo_u, hi_u = bounds
+    if which == "SA":  # bounds describe A itself; map to the solved −A
+        lo_u, hi_u = (
+            None if hi_u is None else -hi_u,
+            None if lo_u is None else -lo_u,
+        )
+
+    from .rbl import _row_sharding
+
+    sharding = _row_sharding(cfg)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        r = cfg.block_size if extra_random is None else int(extra_random)
+        W = jnp.asarray(warm_V, dtype=cdt)
+        if W.ndim != 2 or W.shape[0] != n or W.shape[1] < k:
+            raise ValueError(
+                f"warm_V must be (n={n}, m>={k}), got {W.shape}"
+            )
+        if r:
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 104729)
+            W = jnp.concatenate(
+                [W, jax.random.normal(key, (n, r), dtype=cdt)], axis=1
+            )
+        m = int(W.shape[1])
+        if sharding is not None:
+            W = jax.device_put(W, sharding)
+        # entry orthonormalization: column-normalize first so duplicate /
+        # garbage warm columns degrade into noise directions instead of
+        # sinking the Cholesky (same rationale as _filter_qr)
+        nrm = jnp.sqrt(jnp.sum(W * W, axis=0))
+        W = W / jnp.where(nrm > 0, nrm, 1.0)
+        X, _ = block_qr(W, method="cholqr2" if cdt.itemsize >= 8
+                        else cfg.resolved_qr_method())
+        qr_method = "cholqr2"
+
+        hi = hi_u
+        if hi is None:
+            from ..ops.eig import spectral_norm_bound
+
+            hi = float(
+                spectral_norm_bound(op, jax.random.PRNGKey(cfg.seed + 1))
+            )
+
+        import scipy.linalg
+
+        deg = degree
+        prev_top = np.inf
+        th = np.zeros(m)
+        res = np.full(m, np.inf)
+        converged = False
+        npass = 0
+        for p in range(max_passes):
+            H, AX = _rr_gram(op, X)
+            Hh = np.asarray(H, dtype=np.float64)
+            Hh = (Hh + Hh.T) / 2.0
+            th_a, Y_a = scipy.linalg.eigh(Hh)
+            order = (
+                np.argsort(-np.abs(th_a), kind="stable") if which == "LM"
+                else np.argsort(-th_a, kind="stable")
+            )
+            th, Yh = th_a[order], Y_a[:, order]
+            X, res_j = _rr_rotate(
+                X, AX, jnp.asarray(Yh, dtype=cdt), jnp.asarray(th, dtype=cdt)
+            )
+            res = np.asarray(res_j, dtype=np.float64)
+            npass = p + 1
+            top = float(np.max(res[:k]))
+            if top < cfg.tol:
+                converged = True
+                break
+            if p == max_passes - 1:
+                break
+
+            # ---- filter geometry from the CURRENT Ritz values ----------
+            scale = max(float(np.max(np.abs(th))), 1e-300)
+            margin = 1e-10 * scale  # θ_i ≤ λ_i (interlacing) — the margin
+            #                         only covers f64 RR rounding
+            if which == "LM":
+                tilde = float(np.min(np.abs(th))) - margin
+                a_ = -tilde if (lo_u is None or lo_u < -tilde) else float(lo_u)
+                b_ = tilde
+            else:
+                a_ = float(lo_u) if lo_u is not None else -hi
+                b_ = float(th[-1]) - margin
+            gamma_ = max(hi, float(th[0]) + margin)
+            span = gamma_ - a_
+            if not (b_ - a_ > 1e-12 * max(span, 1.0)):
+                # degenerate geometry (subspace ≈ whole space, or a flat
+                # cluster down to a_): nothing left to damp — plain RR
+                # iteration can't improve either, so stop honestly
+                break
+            b_ = min(b_, gamma_ - 1e-12 * max(span, 1.0))
+
+            c_ = (a_ + b_) / 2.0
+            e_ = (b_ - a_) / 2.0
+            if degree is None:
+                xk = abs((float(th[k - 1]) - c_) / e_)
+                d_new = _auto_degree(xk, target_gain, degree_cap)
+                if deg is None:
+                    deg = d_new
+                elif top > 0.3 * prev_top:
+                    # stalled: the geometry estimate was optimistic —
+                    # escalate (recompile is the price of progress)
+                    deg = min(degree_cap, max(d_new, int(deg * 1.5) + 8))
+            prev_top = top
+            X = _filter_qr(
+                op, X,
+                jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
+                jnp.asarray(gamma_, cdt), deg, qr_method,
+            )
+
+        lam = th[:k].astype(np.float64)
+        if which == "SA":
+            lam = -lam
+        return LanczosResult(
+            eigenvalues=lam,
+            eigenvectors=X[:, :k],
+            iterations=npass,
+            kryl_dim=m,
+            converged=converged,
+            residual_bounds=res[:k].copy(),
+        )
 
 
 def rbl_polished(
@@ -45,27 +285,36 @@ def rbl_polished(
     b: int = 8,
     coarse_tol: float = 1e-4,
     coarse_cfg: Optional[RBLConfig] = None,
-    polish_kryl_dim: Optional[int] = None,
-    max_restarts: Optional[int] = None,
+    buffer: Optional[int] = None,
     which: str = "LM",
+    bounds: Optional[Tuple[Optional[float], Optional[float]]] = None,
+    degree: Optional[int] = None,
+    max_passes: int = 12,
     timer=None,
     checkpoint_path: Optional[str] = None,
+    # legacy restarted-polish knobs, still honored by the cold fallback
+    polish_kryl_dim: Optional[int] = None,
+    max_restarts: Optional[int] = None,
 ) -> LanczosResult:
-    """Two-stage solve: f32 subspace discovery, f64 restarted polish.
+    """Two-stage solve: f32 subspace discovery, f64 Chebyshev-filtered
+    subspace polish (module docstring).
 
-    Parameters mirror ``rbl_restarted``; ``cfg`` governs the POLISH stage
-    (its ``tol`` is the final bar; dtypes default f64).  The coarse stage
-    runs ``rbl`` with f32 basis/compute at ``coarse_tol`` (absolute
-    residual bound, like ``cfg.tol``) — override details via
-    ``coarse_cfg``.  ``polish_kryl_dim`` caps each polish sweep (default
-    ``max(8·b, 2·k)`` rounded up to a block multiple); the restarted
-    driver's early convergence break keeps actual sweeps short.
+    ``cfg`` governs the POLISH stage (its ``tol`` is the final absolute
+    residual bar; dtypes default f64).  The coarse stage runs ``rbl`` with
+    f32 basis/compute at ``coarse_tol`` for k + ``buffer`` pairs (buffer
+    default max(2b, min(k, 32)) — the extra pairs set the filter cutoff
+    below the wanted cluster; see chebyshev_refine).  ``bounds`` optionally
+    certifies (λ_min, λ_max) of A — λ_min = 0 for PSD operators roughly
+    halves the filter degree.
 
     Returns the polish stage's ``LanczosResult``; ``iterations`` counts
-    polish restarts.  If the coarse stage finds nothing (pathological),
-    the polish runs cold — identical to plain ``rbl_restarted``.
+    filter passes.  If the coarse stage finds nothing usable
+    (pathological), the solve falls back to a cold f64 ``rbl_restarted``
+    — identical to the plain restarted solver.
     """
     cfg = cfg or RBLConfig()
+    if buffer is None:
+        buffer = max(2 * b, min(k, 32))
     if coarse_cfg is None:
         coarse_cfg = cfg.replace(
             basis_dtype=jnp.float32,
@@ -74,26 +323,29 @@ def rbl_polished(
             qr_method="auto",  # resolve per-dtype (cholqr2 for f32)
             sweep_checkpoint_path=None,
         )
-    coarse = rbl(A, k, cfg=coarse_cfg, b=b, which=which, timer=timer)
+    k_coarse = min(k + buffer, as_operator(A).n)
+    coarse = rbl(A, k_coarse, cfg=coarse_cfg, b=b, which=which, timer=timer)
     warm_V = coarse.eigenvectors
     if warm_V is not None and not bool(np.all(np.isfinite(np.asarray(warm_V)))):
         warm_V = None  # post-crash-worker garbage: run the polish cold
 
-    if polish_kryl_dim is None:
-        polish_kryl_dim = max(8 * b, 2 * k)
-        polish_kryl_dim += (-polish_kryl_dim) % b
-    if max_restarts is None:
-        # measured on a clustered top-50 (128² Laplacian): ~0.7-8 pairs
-        # lock per restart depending on gap structure — budget ~1 restart
-        # per b/2 pairs plus stall slack
-        max_restarts = 4 * (k + b - 1) // b + 16
-    polish_cfg = cfg.replace(restart_kryl_dim=polish_kryl_dim)
-    res = rbl_restarted(
-        A, k, cfg=polish_cfg, b=b, max_restarts=max_restarts, timer=timer,
-        checkpoint_path=checkpoint_path, which=which, warm_V=warm_V,
-        # poll only the next ~2 groups per sweep: the all-or-nothing bound
-        # over every remaining pair makes sweeps run to cap while locking
-        # tiny prefixes (rbl_restarted docstring)
-        poll_ahead=2 * b,
+    if warm_V is None:
+        # cold fallback: the round-2 restarted polish path (no warm
+        # subspace to filter — grow one the Krylov way)
+        if polish_kryl_dim is None:
+            polish_kryl_dim = max(8 * b, 2 * k)
+            polish_kryl_dim += (-polish_kryl_dim) % b
+        if max_restarts is None:
+            max_restarts = 4 * (k + b - 1) // b + 16
+        from .restarted import rbl_restarted
+
+        return rbl_restarted(
+            A, k, cfg=cfg.replace(restart_kryl_dim=polish_kryl_dim), b=b,
+            max_restarts=max_restarts, timer=timer,
+            checkpoint_path=checkpoint_path, which=which,
+        )
+
+    return chebyshev_refine(
+        A, warm_V, k, cfg=cfg.replace(block_size=b), which=which,
+        bounds=bounds, degree=degree, max_passes=max_passes, timer=timer,
     )
-    return res

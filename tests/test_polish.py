@@ -38,6 +38,89 @@ def test_polished_clustered_laplacian_at_ref_tol():
     assert np.linalg.norm(r, axis=0).max() < 1e-6
 
 
+def test_polished_dense_cluster_at_ref_tol_k50():
+    """The round-3 failure mode, CPU-reproducible (VERDICT r3 item 1): a
+    top cluster with ~2e-5 RELATIVE gaps (the 256² Laplacian's geometry,
+    incl. exact degeneracies) defeats short restarted Krylov sweeps — the
+    recorded TPU run locked 0/50 in 22 restarts.  The Chebyshev subspace
+    polish must lock all 50 at the reference's absolute 1e-7 bound."""
+    n, k, b = 5000, 50, 8
+    d = np.zeros(n)
+    d[:100] = 8.0 * (1.0 - 1.9e-5 * np.arange(100))  # clustered top
+    d[10] = d[11]  # exact degeneracy, like the Laplacian's (i,j)/(j,i)
+    d[100:] = np.linspace(7.8, 1e-3, n - 100)        # dense sea below
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    cfg = RBLConfig(block_size=b, tol=1e-7, seed=0)
+    res = rbl_polished(op, k, cfg=cfg, b=b)
+    assert res.converged, f"locked residuals: {np.sort(res.residual_bounds)[-3:]}"
+    assert res.residual_bounds.max() < 1e-7
+    w = np.sort(np.asarray(res.eigenvalues))[::-1]
+    np.testing.assert_allclose(w, np.sort(d)[::-1][:k], rtol=1e-10)
+    # true residuals of the returned vectors confirm the bound
+    V = np.asarray(res.eigenvectors)
+    AV = np.asarray(op.apply(jnp.asarray(V)))
+    r = AV - V * np.asarray(res.eigenvalues)[None, :]
+    assert np.linalg.norm(r, axis=0).max() < 1e-7
+
+
+def test_polished_psd_bounds_hint_and_degree_cap():
+    """bounds=(0, None) (certified PSD) narrows the damped interval —
+    the polish must stay correct with the hint and a small degree cap
+    (more passes, same answer)."""
+    nx, k, b = 32, 8, 4
+    op = rt.Laplacian2D(nx=nx, ny=nx, _dtype=jnp.float64)
+    cfg = RBLConfig(block_size=b, tol=1e-7, seed=0)
+    res = rbl_polished(op, k, cfg=cfg, b=b, bounds=(0.0, None))
+    assert res.converged
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.eigenvalues))[::-1], _lap2d_exact(nx, k),
+        rtol=1e-10,
+    )
+
+
+def test_chebyshev_refine_mixed_sign_lm():
+    """LM on a mixed-sign spectrum: wanted pairs at BOTH ends, symmetric
+    damped interval [−θ̃, θ̃] (no λ_min certification possible)."""
+    from rbl_tpu.solver.polish import chebyshev_refine
+
+    n, k = 800, 6
+    rng = np.random.default_rng(3)
+    d = np.zeros(n)
+    d[:4] = [10.0, -9.5, 9.0, -8.7]
+    d[4:] = np.linspace(6.0, -6.0, n - 4)
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    idx = np.argsort(-np.abs(d))[: k + 6]
+    warm = np.zeros((n, k + 6))
+    warm[idx, np.arange(k + 6)] = 1.0
+    warm += 1e-5 * rng.standard_normal(warm.shape)
+    res = chebyshev_refine(op, warm, k, cfg=RBLConfig(tol=1e-8, seed=0))
+    assert res.converged
+    w = np.asarray(res.eigenvalues)
+    np.testing.assert_allclose(
+        np.sort(np.abs(w))[::-1], np.sort(np.abs(d))[::-1][:k], rtol=1e-10
+    )
+
+
+def test_chebyshev_refine_sa_mode():
+    """SA: smallest-algebraic polish (solved as LA of −A)."""
+    from rbl_tpu.solver.polish import chebyshev_refine
+
+    n, k = 600, 5
+    rng = np.random.default_rng(5)
+    d = np.linspace(1.0, 100.0, n)
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    warm = np.zeros((n, k + 4))
+    warm[np.arange(k + 4), np.arange(k + 4)] = 1.0
+    warm += 1e-5 * rng.standard_normal(warm.shape)
+    res = chebyshev_refine(
+        op, warm, k, cfg=RBLConfig(tol=1e-8, seed=0), which="SA"
+    )
+    assert res.converged
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.eigenvalues)), d[:k], rtol=1e-10
+    )
+
+
 def test_warm_seeding_converges_with_short_sweeps():
     """warm_V columns aligned with the unlocked pairs let the restarted
     solver lock k pairs with sweeps far shorter than the cold solve needs;

@@ -147,7 +147,9 @@ def main():
     ev1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
     lam = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(res.eigenvalues)]
     max_rel = float(np.max(np.abs(res.eigenvalues - lam) / lam))
-    assert max_rel < 0.05, f"headline eigenvalues off by {max_rel:.3f}"
+    # tol-limited error at tol 1e-3 measures ~1.2e-2 (BENCHMARKS.md);
+    # assert at ~2x that, not the old 5% (VERDICT r3 weak #2)
+    assert max_rel < 0.025, f"headline eigenvalues off by {max_rel:.3f}"
     out = {
         "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8",
         "value": round(dt, 3),
@@ -157,36 +159,88 @@ def main():
         "tol": 1e-3,
         "basis": os.environ.get("RBL_BENCH_BASIS", "bf16"),
     }
-    # companion row at the REFERENCE'S OWN tolerance (RBL.jl:109 1e-7
-    # residual bound; f64 compute — measured via benchmarks/
-    # run_tpu_round3b.sh tol_honest leg and recorded in BENCHMARKS.md).
-    # RBL_BENCH_REF_TOL=1 re-measures it in-session (f64: adds minutes).
-    if os.environ.get("RBL_BENCH_REF_TOL"):
+    lam50 = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][:50]
+
+    # f32-floor accuracy row (recorded by DEFAULT — VERDICT r3 item 4):
+    # same solver at the f32 residual floor (~30·eps_f32·‖A‖ ≈ 3e-5), f32
+    # basis so the floor is reachable.  RBL_BENCH_F32ROW=0 skips.
+    if os.environ.get("RBL_BENCH_F32ROW", "1") != "0":
+        import jax.numpy as jnp
+
+        import rbl_tpu as rt
+        from rbl_tpu.config import RBLConfig
+
+        op32 = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
+        cfg32 = RBLConfig(
+            block_size=8, basis_dtype=jnp.float32,
+            compute_dtype=jnp.float32, qr_method="cholqr2", tol=3e-5,
+            max_kryl_dim=1024, eig_poll_cadence=16, seed=0,
+        )
+        try:
+            def _f32row(seed):
+                t0 = time.perf_counter()
+                r = rt.rbl(op32, 50, 8, cfg=cfg32.replace(seed=seed))
+                float(r.eigenvectors[0, 0])
+                return time.perf_counter() - t0, r
+
+            solve_with_retry(_f32row, 0, retries=1, attempts=6,
+                             sleep_s=30, validate=_finite)  # warm compiles
+            dt5, res5 = solve_with_retry(_f32row, 1, retries=1, attempts=6,
+                                         sleep_s=30, validate=_finite)
+            w5 = np.sort(np.asarray(res5.eigenvalues))[::-1]
+            out["f32_floor_s"] = round(dt5, 3)
+            out["f32_floor_tol"] = 3e-5
+            out["f32_floor_max_rel_err"] = float(
+                np.max(np.abs(w5 - lam50) / lam50)
+            )
+            out["f32_floor_converged"] = bool(res5.converged)
+        except Exception as e:  # never lose the headline row to this leg
+            out["f32_floor_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # at the REFERENCE'S OWN tolerance (RBL.jl:109 abs 1e-7 residual
+    # bound) — recorded by DEFAULT since round 4 via the Chebyshev
+    # subspace polish (solver/polish.py).  Error is over ALL k pairs of a
+    # full solve (same denominator every round — ADVICE r3); `locked`
+    # counts pairs whose TRUE residual clears the bound.
+    # RBL_BENCH_REF_TOL=0 skips (f64: adds cold-compile minutes).
+    if os.environ.get("RBL_BENCH_REF_TOL", "1") != "0":
         import jax.numpy as jnp
 
         import rbl_tpu as rt
         from rbl_tpu.config import RBLConfig
         from rbl_tpu.solver.polish import rbl_polished
 
-        # the plain f64 sweep cap-hits (rel 9.7e-3 at cap 832; larger caps
-        # OOM under X64 — BENCHMARKS.md): the warm-started f32→f64 polish
-        # is the path that can actually reach the 1e-7 bound here
         op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float64)
         cfg = RBLConfig(block_size=8, tol=1e-7, qr_method="cholqr2",
                         eig_poll_cadence=16, seed=0)
-        rbl_polished(op, 50, cfg=cfg, b=8)  # warm
-        t0 = time.perf_counter()
-        res = rbl_polished(op, 50, cfg=cfg.replace(seed=1), b=8)
-        float(res.eigenvectors[0, 0])
-        ref_dt = time.perf_counter() - t0
-        w7 = np.sort(np.asarray(res.eigenvalues))[::-1]
-        lam50 = np.sort(np.add.outer(ev1, ev1).ravel())[::-1][: len(w7)]
-        rel7 = float(np.max(np.abs(w7 - lam50) / lam50)) if len(w7) else -1.0
-        out["at_ref_tol_s"] = round(ref_dt, 3)
-        out["ref_tol"] = 1e-7
-        out["ref_tol_max_rel_err"] = rel7
-        out["ref_tol_locked"] = int(len(w7))
-        out["ref_tol_converged"] = bool(res.converged)
+        try:
+            def _polish(seed):
+                t0 = time.perf_counter()
+                r = rbl_polished(op, 50, cfg=cfg.replace(seed=seed), b=8,
+                                 bounds=(0.0, None))
+                float(r.eigenvectors[0, 0])
+                return time.perf_counter() - t0, r
+
+            cold_dt, _ = solve_with_retry(_polish, 0, retries=1,
+                                          attempts=6, sleep_s=30,
+                                          validate=_finite)
+            ref_dt, res7 = solve_with_retry(_polish, 1, retries=1,
+                                            attempts=6, sleep_s=30,
+                                            validate=_finite)
+            w7 = np.sort(np.asarray(res7.eigenvalues))[::-1]
+            out["at_ref_tol_s"] = round(ref_dt, 3)
+            out["at_ref_tol_cold_s"] = round(cold_dt, 3)
+            out["ref_tol"] = 1e-7
+            out["ref_tol_max_rel_err"] = (
+                float(np.max(np.abs(w7 - lam50) / lam50))
+                if len(w7) == 50 else None
+            )
+            out["ref_tol_locked"] = int(
+                np.sum(np.asarray(res7.residual_bounds) < 1e-7)
+            )
+            out["ref_tol_converged"] = bool(res7.converged)
+        except Exception as e:
+            out["ref_tol_error"] = f"{type(e).__name__}: {e}"[:200]
     if measured_baseline is not None:
         out["baseline_measured_s"] = round(measured_baseline, 3)
     print(json.dumps(out))

@@ -175,6 +175,14 @@ class RBLConfig:
     sweep_checkpoint_path: Optional[str] = None
     sweep_checkpoint_every: int = 1
     fault_inject_abort_after_chunks: Optional[int] = None
+    # Solver-level probe-on-fault retry: when the non-finite-T guard (or a
+    # jax runtime error) fires inside ``rbl``/``rbl_restarted``, wait for
+    # value-checked backend health probes (utils/probe.py) and re-dispatch
+    # the whole solve this many times.  None = auto: 1 on accelerator
+    # backends (the post-OOM silent-garbage worker state is a measured
+    # failure mode there), 0 on CPU (a genuine numerical failure would
+    # only repeat).
+    fault_retries: Optional[int] = None
 
     # --- restarted / deflating variant knobs (restarted.jl) ---
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)

@@ -119,9 +119,24 @@ def rbl(
             op = AffineOperator.shift(
                 op, 1.0 if which == "LA" else -1.0, shift
             )
-        res = _rbl_impl(
-            op, k, cfg, compute_eigenvectors, timer, v0=v0, deflate=deflate
-        )
+        # Solver-level probe-on-fault retry (SURVEY §5): a fired
+        # non-finite-T guard on an accelerator backend is, measured, most
+        # often the post-OOM silent-garbage worker state — re-dispatch
+        # once after value-checked health probes instead of losing the
+        # solve (cfg.fault_retries; 0 on CPU where the failure is real).
+        from ..utils.probe import resolve_fault_retries, solve_with_retry
+
+        retries = resolve_fault_retries(cfg)
+        if retries:
+            res = solve_with_retry(
+                _rbl_impl, op, k, cfg, compute_eigenvectors, timer, v0=v0,
+                deflate=deflate, retries=retries,
+            )
+        else:
+            res = _rbl_impl(
+                op, k, cfg, compute_eigenvectors, timer, v0=v0,
+                deflate=deflate,
+            )
         if which == "LA":
             res.eigenvalues = res.eigenvalues - shift
         elif which == "SA":

@@ -168,10 +168,36 @@ def rbl_restarted(
             shift = spectral_norm_bound(op, jax.random.PRNGKey(cfg.seed + 1))
             op = AffineOperator.shift(op, 1.0 if which == "LA" else -1.0,
                                       shift)
-        res = _rbl_restarted_impl(
-            op, k, cfg, b, max_restarts, timer, checkpoint_path, state, v0,
-            warm_V=warm_V, poll_ahead=poll_ahead,
-        )
+        # Solver-level probe-on-fault retry — same rationale as rbl()'s
+        # (utils/probe.py).  A restart-boundary checkpoint_path makes the
+        # re-dispatch resume rather than restart.
+        from ..utils.probe import resolve_fault_retries, solve_with_retry
+
+        retries = resolve_fault_retries(cfg)
+        attempt = [0]
+
+        def _dispatch():
+            st = state
+            # a RETRY attempt resumes from the failed attempt's own
+            # restart-boundary checkpoint (never the first attempt — a
+            # stale file from some earlier solve must not hijack it)
+            if attempt[0] and checkpoint_path is not None and st is None:
+                import os
+
+                if os.path.exists(checkpoint_path):
+                    from ..utils.checkpoint import load_restart_state
+
+                    st = load_restart_state(checkpoint_path)
+            attempt[0] += 1
+            return _rbl_restarted_impl(
+                op, k, cfg, b, max_restarts, timer, checkpoint_path, st, v0,
+                warm_V=warm_V, poll_ahead=poll_ahead,
+            )
+
+        if retries:
+            res = solve_with_retry(_dispatch, retries=retries)
+        else:
+            res = _dispatch()
         if which != "LM":
             # un-shift, then restore LanczosResult's documented order
             # (descending |λ| — lanczos.py LanczosResult docstring): the
@@ -244,10 +270,17 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
         # gotcha 5).  The sweep itself still stops at kryl_dim; padding
         # columns stay zero (basis invariant).
         cap = state.kryl_dim + b
+        bucket = 1 << (cap - 1).bit_length()
+        if cfg.basis_device_cap_cols is not None:
+            # the bucketed doubling must not overshoot the user's device
+            # cap — the geometric growth could otherwise ~2x peak basis
+            # HBM right at the OOM boundary the cap exists to protect
+            bucket = max(cap, min(bucket, cfg.basis_device_cap_cols))
         store = BasisStore(
-            n, b, max_cols=1 << (cap - 1).bit_length(),
+            n, b, max_cols=bucket,
             dtype=cfg.basis_dtype,
             init_cols=cfg.min_basis_cols, sharding=sharding,
+            device_cap_cols=cfg.basis_device_cap_cols,
         )
         k_rem = max(k - state.count, 1)
         if poll_ahead is not None:

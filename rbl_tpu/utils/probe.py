@@ -40,8 +40,11 @@ def backend_healthy(n64: int = 512) -> bool:
         x = jnp.ones((128, 128), jnp.float32)
         if abs(float((x @ x)[7, 11]) - 128.0) > 1e-3:
             return False
-        f64 = jnp.dtype(jnp.float64)
-        if f64.itemsize == 8:  # x64 enabled (the package enables it)
+        # x64 guard on the RUNTIME state (importing rbl_tpu enables it, but
+        # numpy dtype metadata would read 8 regardless — a disabled-x64
+        # session must skip the f64 probes or they fail forever)
+        f64 = jnp.zeros((), jnp.float64).dtype
+        if f64.itemsize == 8:
             y = jnp.ones((n64, n64), f64)
             if float((y @ y)[3, 5]) != float(n64):
                 return False
@@ -74,6 +77,28 @@ def _result_finite(res: Any) -> bool:
     return bool(np.all(np.isfinite(np.asarray(vals))))
 
 
+def _retryable_exceptions() -> tuple:
+    """FloatingPointError (the solvers' non-finite-T guard) plus the jax
+    runtime errors a hard worker crash surfaces as (HBM OOM, RPC drop) —
+    those must get the same health-wait-and-retry, not a first-attempt
+    propagate."""
+    excs = [FloatingPointError]
+    try:
+        from jax.errors import JaxRuntimeError
+
+        excs.append(JaxRuntimeError)
+    except ImportError:  # pragma: no cover — older jax
+        pass
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+
+        if not any(issubclass(XlaRuntimeError, e) for e in excs):
+            excs.append(XlaRuntimeError)
+    except ImportError:  # pragma: no cover
+        pass
+    return tuple(excs)
+
+
 def solve_with_retry(
     solve_fn: Callable[..., Any],
     *args: Any,
@@ -81,21 +106,24 @@ def solve_with_retry(
     attempts: int = 12,
     sleep_s: float = 60.0,
     validate: Optional[Callable[[Any], bool]] = None,
+    exceptions: Optional[tuple] = None,
     **kwargs: Any,
 ) -> Any:
-    """Dispatch ``solve_fn(*args, **kwargs)``; on a FloatingPointError or a
-    result whose eigenvalues are non-finite (``validate`` overrides the
-    check), wait for a healthy backend and re-dispatch up to ``retries``
-    more times.  The final attempt's error propagates / result returns
-    as-is, so genuine numerical failures still surface."""
+    """Dispatch ``solve_fn(*args, **kwargs)``; on a retryable exception
+    (``exceptions`` overrides: default FloatingPointError + jax runtime
+    errors) or a result whose eigenvalues are non-finite (``validate``
+    overrides the check), wait for a healthy backend and re-dispatch up to
+    ``retries`` more times.  The final attempt's error propagates / result
+    returns as-is, so genuine numerical failures still surface."""
     validate = validate or _result_finite
+    exceptions = exceptions if exceptions is not None else _retryable_exceptions()
     last_exc: Optional[BaseException] = None
     for attempt in range(retries + 1):
         if attempt > 0:
             wait_until_healthy(attempts=attempts, sleep_s=sleep_s)
         try:
             res = solve_fn(*args, **kwargs)
-        except FloatingPointError as e:
+        except exceptions as e:
             last_exc = e
             if attempt == retries:
                 raise
@@ -103,3 +131,16 @@ def solve_with_retry(
         if validate(res) or attempt == retries:
             return res
     raise last_exc  # pragma: no cover — loop always returns or raises
+
+
+def resolve_fault_retries(cfg) -> int:
+    """The solver entries' retry count: cfg.fault_retries when set;
+    otherwise 1 on an accelerator backend (where the post-OOM
+    silent-garbage worker state is a MEASURED failure mode) and 0 on CPU
+    (where a FloatingPointError is a genuine numerical failure that a
+    retry would only repeat, doubling the time to the real error)."""
+    if getattr(cfg, "fault_retries", None) is not None:
+        return int(cfg.fault_retries)
+    import jax
+
+    return 0 if jax.default_backend() == "cpu" else 1

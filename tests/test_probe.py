@@ -73,6 +73,90 @@ def test_exhausted_retries_return_last_result():
     assert np.isnan(res.eigenvalues).all()
 
 
+def test_retry_catches_xla_runtime_error():
+    # a hard worker crash surfaces as a jax/XLA runtime error, not
+    # FloatingPointError — it must get the same health-wait-and-retry
+    from rbl_tpu.utils.probe import _retryable_exceptions
+
+    excs = _retryable_exceptions()
+    assert len(excs) > 1  # FloatingPointError + at least one jax error
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise excs[-1]("RESOURCE_EXHAUSTED (injected)")
+        return _result([3.0])
+
+    res = solve_with_retry(flaky, retries=1, attempts=1, sleep_s=0)
+    assert calls["n"] == 2
+    np.testing.assert_allclose(res.eigenvalues, [3.0])
+
+
+def test_solver_level_fault_retry_rbl(monkeypatch):
+    """VERDICT r3 item 6: the probe-on-nonfinite retry wired into the
+    SOLVER, not just bench.py — an injected garbage start block (the
+    post-OOM worker signature) fires the non-finite-T guard; with
+    cfg.fault_retries=1 the solve re-dispatches and completes, with 0 it
+    propagates."""
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+    import rbl_tpu.solver.rbl as rblmod
+    from rbl_tpu.config import RBLConfig
+
+    real = rblmod.random_start_block
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        blk = real(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return jnp.full_like(blk, jnp.nan)
+        return blk
+
+    monkeypatch.setattr(rblmod, "random_start_block", flaky)
+    d = np.arange(1.0, 301.0)
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    cfg = RBLConfig(tol=1e-8, block_size=4, fault_retries=1, seed=0)
+    res = rt.rbl(op, 5, cfg=cfg)
+    assert res.converged and calls["n"] >= 2
+    np.testing.assert_allclose(res.eigenvalues, d[::-1][:5], rtol=1e-10)
+
+    calls["n"] = 0
+    with pytest.raises(FloatingPointError):
+        rt.rbl(op, 5, cfg=cfg.replace(fault_retries=0))
+
+
+def test_solver_level_fault_retry_restarted(monkeypatch):
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+    import rbl_tpu.solver.restarted as rmod
+    from rbl_tpu.config import RBLConfig
+
+    real = rmod.random_start_block
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        blk = real(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return jnp.full_like(blk, jnp.nan)
+        return blk
+
+    monkeypatch.setattr(rmod, "random_start_block", flaky)
+    d = np.arange(1.0, 301.0)
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    cfg = RBLConfig(tol=1e-7, block_size=2, restart_kryl_dim=24,
+                    fault_retries=1, seed=0)
+    res = rt.rbl_restarted(op, 4, b=2, cfg=cfg)
+    assert res.converged and calls["n"] >= 2
+    np.testing.assert_allclose(
+        np.sort(res.eigenvalues)[::-1], d[::-1][:4], rtol=1e-9
+    )
+
+
 def test_custom_validate():
     # validator sees the result; a False verdict triggers the retry path
     seen = []

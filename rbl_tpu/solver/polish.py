@@ -147,6 +147,27 @@ def chebyshev_refine(
     which = which.upper()
     if which not in ("LM", "LA", "SA"):
         raise ValueError(f"which={which!r} not in ('LM', 'LA', 'SA')")
+    # same probe-on-fault re-dispatch as rbl()'s (utils/probe.py): on an
+    # accelerator backend a non-finite Rayleigh–Ritz matrix is, measured,
+    # the post-OOM silent-garbage worker state
+    from ..utils.probe import resolve_fault_retries, solve_with_retry
+
+    retries = resolve_fault_retries(cfg)
+    if retries:
+        return solve_with_retry(
+            _chebyshev_refine_impl, A, warm_V, k, cfg, which, bounds,
+            degree, max_passes, extra_random, target_gain, degree_cap,
+            timer, retries=retries,
+        )
+    return _chebyshev_refine_impl(
+        A, warm_V, k, cfg, which, bounds, degree, max_passes,
+        extra_random, target_gain, degree_cap, timer,
+    )
+
+
+def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
+                           max_passes, extra_random, target_gain,
+                           degree_cap, timer):
     cdt = jnp.dtype(cfg.compute_dtype)
     base = as_operator(A, dtype=cdt)
     n = base.n
@@ -208,6 +229,14 @@ def chebyshev_refine(
         for p in range(max_passes):
             H, AX = _rr_gram(op, X)
             Hh = np.asarray(H, dtype=np.float64)
+            if not np.all(np.isfinite(Hh)):
+                # raise the RETRYABLE class (scipy's ValueError would
+                # bypass every health-wait retry layer)
+                raise FloatingPointError(
+                    "non-finite Rayleigh-Ritz matrix in chebyshev_refine "
+                    f"(pass {p}) — operator output or backend state is "
+                    "unstable"
+                )
             Hh = (Hh + Hh.T) / 2.0
             th_a, Y_a = scipy.linalg.eigh(Hh)
             order = (

@@ -188,6 +188,13 @@ class RBLConfig:
     restart_kryl_dim: int = 100      # initial sweep length (restarted.jl:103)
     restart_growth: int = 10         # sweep growth per restart (restarted.jl:142)
     restart_reorth_cadence: int = 3  # deflation + partial reorth cadence (restarted.jl:53)
+    # When to grow the sweep: "stall" (default) grows only after a restart
+    # that locked nothing — a PRODUCTIVE restart keeps its length, so the
+    # sweep shapes (and the whole compiled chunk family — each remote f64
+    # compile is 20-60 s) stay pinned across the common progressing case.
+    # "always" restores the reference's unconditional +growth
+    # (restarted.jl:142).
+    restart_growth_policy: str = "stall"
 
     def __post_init__(self):
         if self.block_size < 1:

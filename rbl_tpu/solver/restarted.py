@@ -356,7 +356,10 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             width = min(b, V.shape[1] - j)
             next_start = recover_eigvec(store, V[:, j : j + width])
         state.count += ncomp
-        state.kryl_dim += cfg.restart_growth
+        # compile-ladder cut (VERDICT r3 item 7): growth is the STALL
+        # remedy — a productive restart reuses its compiled sweep shapes
+        if ncomp == 0 or cfg.restart_growth_policy == "always":
+            state.kryl_dim += cfg.restart_growth
         state.restarts += 1
         if warm_seed:
             state.Qi = _warm_block(warm_V, state.count, b, n, cfg, sharding)

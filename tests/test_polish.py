@@ -142,8 +142,10 @@ def test_warm_seeding_converges_with_short_sweeps():
     w = np.sort(np.asarray(res.eigenvalues))[::-1]
     np.testing.assert_allclose(w, np.sort(d)[::-1][:k], rtol=1e-9)
     # a cold solve at this sweep length needs many more restarts; warm
-    # locks in a handful
-    assert res.iterations <= 10
+    # locks within the small budget (the exact count moved 10 -> 11 when
+    # restart_growth_policy="stall" pinned sweep lengths — one extra cheap
+    # cached-shape restart instead of seven recompiling growths)
+    assert res.iterations <= 12
 
 
 def test_polished_cold_fallback_on_nonfinite_warm(monkeypatch):

@@ -99,3 +99,35 @@ def test_restarted_f32_extreme_dominance_no_ghost_lock():
     w = np.sort(np.asarray(res.eigenvalues))[::-1]
     assert len(w) == k
     assert np.abs((w - exact) / exact).max() < 1e-4
+
+
+def test_restart_growth_policy_stall_pins_sweep_length():
+    """Productive restarts must not grow the sweep (each new length is a
+    fresh compile family — VERDICT r3 item 7); only a zero-lock stall
+    grows.  'always' restores the reference's unconditional +10."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import rbl_tpu as rt
+    from rbl_tpu.config import RBLConfig
+
+    n, k, b = 400, 6, 2
+    d = np.cumsum(np.arange(1.0, n + 1.0))
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    cfg = RBLConfig(tol=1e-6, restart_kryl_dim=24, seed=0)
+    res = rt.rbl_restarted(op, k, b=b, cfg=cfg, max_restarts=30)
+    assert res.converged
+    res2 = rt.rbl_restarted(
+        op, k, b=b, cfg=cfg.replace(restart_growth_policy="always"),
+        max_restarts=30,
+    )
+    assert res2.converged
+    # "always" pays +10 per restart (reference semantics); "stall" only
+    # grows on zero-lock restarts, so it ends strictly shorter whenever
+    # any restart was productive
+    assert res2.kryl_dim == 24 + 10 * res2.iterations
+    assert res.kryl_dim < 24 + 10 * res.iterations
+    np.testing.assert_allclose(
+        np.sort(res.eigenvalues), np.sort(res2.eigenvalues), rtol=1e-9
+    )

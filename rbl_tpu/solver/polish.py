@@ -73,7 +73,7 @@ def _rr_rotate(X, AX, Y, theta):
 
 
 @partial(jax.jit, static_argnames=("degree", "qr_method"))
-def _filter_qr(op, X, a, b, gamma, degree, qr_method):
+def _filter_qr(op, X, frozen, a, b, gamma, degree, qr_method):
     """One Chebyshev filter pass + re-orthonormalization.
 
     The filtered columns' norms spread by p(λ₁)/τ (up to ~10⁷), which would
@@ -88,6 +88,12 @@ def _filter_qr(op, X, a, b, gamma, degree, qr_method):
     Y = fop.apply(X)
     nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
     Y = Y / jnp.where(nrm > 0, nrm, 1.0)
+    # frozen (already-converged) columns pass through UNFILTERED: X is
+    # orthonormal, so CholeskyQR's R₁₁ block is I on them — they emerge
+    # bit-stable while the unfrozen columns get projected against them
+    # (deflation) inside the same fixed-shape QR.  The traced mask keeps
+    # one compiled program for every lock state.
+    Y = jnp.where(frozen[None, :], X, Y)
     Q, _ = block_qr(Y, method=qr_method)
     return Q
 
@@ -257,16 +263,27 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                 break
 
             # ---- filter geometry from the CURRENT Ritz values ----------
+            # Cutoff at the (k + half-buffer)-th Ritz value, NOT the m-th:
+            # trailing columns can be garbage (a cap-hit coarse stage, the
+            # random pad) whose Rayleigh quotients sit far below the
+            # cluster — keying on θ_m drags the cutoff toward 0, gutting
+            # the per-pass gain (and, for LM, collapsing the damped
+            # interval entirely — observed on fem42: tilde ≈ 0 → early
+            # degenerate-geometry break at 40/100 locked).  θ_ci ≤ λ_ci ≤
+            # λ_k by interlacing (ci ≥ k), so the wanted pairs are never
+            # damped; pairs between the cutoff and λ_k merely converge
+            # along with the wanted ones.
+            ci = min(m - 1, k - 1 + max(1, (m - k) // 2))
             scale = max(float(np.max(np.abs(th))), 1e-300)
             margin = 1e-10 * scale  # θ_i ≤ λ_i (interlacing) — the margin
             #                         only covers f64 RR rounding
             if which == "LM":
-                tilde = float(np.min(np.abs(th))) - margin
+                tilde = float(np.abs(th[ci])) - margin
                 a_ = -tilde if (lo_u is None or lo_u < -tilde) else float(lo_u)
                 b_ = tilde
             else:
                 a_ = float(lo_u) if lo_u is not None else -hi
-                b_ = float(th[-1]) - margin
+                b_ = float(th[ci]) - margin
             gamma_ = max(hi, float(th[0]) + margin)
             span = gamma_ - a_
             if not (b_ - a_ > 1e-12 * max(span, 1.0)):
@@ -278,18 +295,54 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
 
             c_ = (a_ + b_) / 2.0
             e_ = (b_ - a_) / 2.0
+            # Lock: columns whose TRUE residual already clears the bound
+            # freeze through the filter (see _filter_qr) — on spread
+            # spectra the converged dominant pairs would otherwise set an
+            # astronomically larger gain than the laggards and every
+            # column would collapse onto them (measured: λ₁/λ_k = 10/6 at
+            # auto-degree 80 gives a e⁸⁸ gain ratio — f64 cannot hold
+            # both, the ±6 pairs were annihilated).
+            frozen = res < cfg.tol
+            unfrozen_wanted = np.nonzero(~frozen[:k])[0]
+
+            def _y(i):
+                x = abs((float(th[i]) - c_) / e_)
+                return math.acosh(x) if x > 1.0 + 1e-15 else 0.0
+
             if degree is None:
-                xk = abs((float(th[k - 1]) - c_) / e_)
-                d_new = _auto_degree(xk, target_gain, degree_cap)
-                if deg is None:
+                i_lo = int(unfrozen_wanted[-1])
+                d_new = _auto_degree(
+                    abs((float(th[i_lo]) - c_) / e_), target_gain,
+                    degree_cap,
+                )
+                # gain-RATIO cap vs the GLOBAL spectral top (frozen pairs
+                # included): rounding inside the filter reinjects
+                # eps-level leakage along the fastest directions into
+                # every unfrozen column, amplified by up to
+                # e^{d·(y_top − y_lo)} over the remaining degree — it must
+                # stay ≥ 1e-6 below the slow pair's own gain or the
+                # column is annihilated before QR-deflation can strip it
+                # (measured on a 10/6 two-tier spectrum: d=86 → e³⁷·eps
+                # wiped the ±6 pairs; d ≤ 14/Δy converges them).
+                y_spread = _y(0) - _y(i_lo)
+                ratio_cap = (
+                    max(8, int(14.0 / y_spread)) if y_spread > 1e-9
+                    else degree_cap
+                )
+                d_new = min(d_new, ratio_cap)
+                if deg is None or top <= 0.3 * prev_top:
                     deg = d_new
-                elif top > 0.3 * prev_top:
+                else:
                     # stalled: the geometry estimate was optimistic —
-                    # escalate (recompile is the price of progress)
-                    deg = min(degree_cap, max(d_new, int(deg * 1.5) + 8))
+                    # escalate (recompile is the price of progress), but
+                    # never past the ratio cap
+                    deg = min(
+                        degree_cap, max(d_new, int(deg * 1.5) + 8),
+                        ratio_cap,
+                    )
             prev_top = top
             X = _filter_qr(
-                op, X,
+                op, X, jnp.asarray(frozen),
                 jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
                 jnp.asarray(gamma_, cdt), deg, qr_method,
             )

@@ -72,8 +72,8 @@ def _rr_rotate(X, AX, Y, theta):
     return Xr, jnp.sqrt(jnp.sum(R * R, axis=0))
 
 
-@partial(jax.jit, static_argnames=("degree", "qr_method"))
-def _filter_qr(op, X, frozen, a, b, gamma, degree, qr_method):
+@partial(jax.jit, static_argnames=("degree", "qr_method", "fdt"))
+def _filter_qr(op, X, frozen, a, b, gamma, degree, qr_method, fdt=None):
     """One Chebyshev filter pass + re-orthonormalization.
 
     The filtered columns' norms spread by p(λ₁)/τ (up to ~10⁷), which would
@@ -81,17 +81,37 @@ def _filter_qr(op, X, frozen, a, b, gamma, degree, qr_method):
     FIRST, then the Gram matrix's condition reflects only angles (near 1
     for a near-converged block) and cholqr2 is exact to f64 rounding.
     a/b/gamma are 0-d leaves: interval moves between passes hit the jit
-    cache; only a degree change recompiles."""
-    fop = ChebyshevFilterOperator(
-        base=op, a=a, b=b, gamma=gamma, degree=degree
-    )
-    Y = fop.apply(X)
+    cache; only a degree or fdt change recompiles.
+
+    ``fdt`` optionally runs the FILTER CHAIN in a lower precision (f32 on
+    TPU: native MXU instead of X64-split emulation, ~an order of magnitude
+    per SpMM).  The subspace noise this injects (~√d·eps_f32 relative) is
+    repaired by the enclosing loop: the post-filter QR and the
+    Rayleigh–Ritz always run in X's own (compute) dtype, and the driver
+    switches fdt to the compute dtype once the residuals approach the f32
+    floor (see _chebyshev_refine_impl)."""
+    xdt = X.dtype
+    if fdt is not None and jnp.dtype(fdt) != xdt:
+        from ..ops.spmm.operator import cast_operator
+
+        fop = ChebyshevFilterOperator(
+            base=cast_operator(op, fdt), a=a.astype(fdt), b=b.astype(fdt),
+            gamma=gamma.astype(fdt), degree=degree,
+        )
+        Y = fop.apply(X.astype(fdt)).astype(xdt)
+    else:
+        fop = ChebyshevFilterOperator(
+            base=op, a=a, b=b, gamma=gamma, degree=degree
+        )
+        Y = fop.apply(X)
     nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
     Y = Y / jnp.where(nrm > 0, nrm, 1.0)
     # frozen (already-converged) columns pass through UNFILTERED: X is
     # orthonormal, so CholeskyQR's R₁₁ block is I on them — they emerge
     # bit-stable while the unfrozen columns get projected against them
-    # (deflation) inside the same fixed-shape QR.  The traced mask keeps
+    # (deflation) inside the same fixed-shape QR (run in the COMPUTE
+    # dtype, which also re-orthogonalizes low-precision filter output
+    # against the frozen set in full precision).  The traced mask keeps
     # one compiled program for every lock state.
     Y = jnp.where(frozen[None, :], X, Y)
     Q, _ = block_qr(Y, method=qr_method)
@@ -120,6 +140,7 @@ def chebyshev_refine(
     extra_random: Optional[int] = None,
     target_gain: float = 1e4,
     degree_cap: int = 500,
+    filter_dtype: str = "auto",
     timer=None,
 ) -> LanczosResult:
     """Polish approximate eigenvectors to cfg.tol (absolute residual) by
@@ -143,6 +164,11 @@ def chebyshev_refine(
         rank-deficiency repair and the escape hatch for any wanted
         direction the coarse stage missed entirely (the filter amplifies
         its component out of the random seed).
+    filter_dtype: "auto" (default) runs filter chains in f32 while the
+        residuals sit far above the f32 noise floor — native MXU instead
+        of X64-split emulation on TPU — switching to the compute dtype
+        for the final passes; "compute" pins every chain to
+        cfg.compute_dtype.
 
     Returns LanczosResult with eigenvalues/eigenvectors/residual_bounds
     for the k wanted pairs (Rayleigh–Ritz values against the true A —
@@ -163,17 +189,17 @@ def chebyshev_refine(
         return solve_with_retry(
             _chebyshev_refine_impl, A, warm_V, k, cfg, which, bounds,
             degree, max_passes, extra_random, target_gain, degree_cap,
-            timer, retries=retries,
+            filter_dtype, timer, retries=retries,
         )
     return _chebyshev_refine_impl(
         A, warm_V, k, cfg, which, bounds, degree, max_passes,
-        extra_random, target_gain, degree_cap, timer,
+        extra_random, target_gain, degree_cap, filter_dtype, timer,
     )
 
 
 def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                            max_passes, extra_random, target_gain,
-                           degree_cap, timer):
+                           degree_cap, filter_dtype, timer):
     cdt = jnp.dtype(cfg.compute_dtype)
     base = as_operator(A, dtype=cdt)
     n = base.n
@@ -284,7 +310,19 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             else:
                 a_ = float(lo_u) if lo_u is not None else -hi
                 b_ = float(th[ci]) - margin
-            gamma_ = max(hi, float(th[0]) + margin)
+            # Normalization point TIGHT to the spectrum top, not the
+            # power-method norm bound: p(θ) = e^{−d·(y_γ − y_θ)} under the
+            # scaled recurrence, and a γ 10% above the passband drives the
+            # whole wanted block to e^{−150}-class values — fine in f64,
+            # IDENTICALLY ZERO in f32 (measured: the f32 filter phase
+            # returned an all-zero block and the RR collapsed to sea
+            # garbage).  θ₀ + 2·res₀ is a residual-certified upper bound
+            # of the eigenvalue θ₀ approximates; anything pathologically
+            # above γ is amplified, found by the next RR, and γ
+            # self-corrects — the underflow cap below bounds the transient.
+            gamma_ = float(np.abs(th[0])) + max(
+                2.0 * float(res[0]), 1e-3 * scale
+            )
             span = gamma_ - a_
             if not (b_ - a_ > 1e-12 * max(span, 1.0)):
                 # degenerate geometry (subspace ≈ whole space, or a flat
@@ -304,6 +342,25 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             # both, the ±6 pairs were annihilated).
             frozen = res < cfg.tol
             unfrozen_wanted = np.nonzero(~frozen[:k])[0]
+
+            # mixed-precision filter phase: run the chain in f32 (native
+            # MXU — X64-split emulation is ~an order of magnitude slower
+            # per SpMM on TPU) while the residual target is far above the
+            # f32 noise floor; the QR/RR stay f64 throughout
+            fdt = None
+            if (
+                filter_dtype == "auto"
+                and cdt.itemsize >= 8
+                and top > 64 * float(np.finfo(np.float32).eps) * scale
+            ):
+                fdt = jnp.float32
+            # ratio-cap headroom e^head: leakage along the fast directions
+            # reaches own·eps·e^{d·Δy} before QR; since those directions
+            # are REPRESENTED in the block, QR-deflation strips what
+            # lands on them — the cap only has to keep the transient
+            # below ~1e-3 of the column's own content (f64: e²⁷·2e-16 ≈
+            # 1e-4; f32: e⁹·1.2e-7 ≈ 1e-3)
+            head = 9.0 if fdt is not None else 27.0
 
             def _y(i):
                 x = abs((float(th[i]) - c_) / e_)
@@ -326,10 +383,24 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                 # wiped the ±6 pairs; d ≤ 14/Δy converges them).
                 y_spread = _y(0) - _y(i_lo)
                 ratio_cap = (
-                    max(8, int(14.0 / y_spread)) if y_spread > 1e-9
+                    max(8, int(head / y_spread)) if y_spread > 1e-9
                     else degree_cap
                 )
                 d_new = min(d_new, ratio_cap)
+                # underflow cap: p(θ_lo) = e^{−d·(y_γ − y_lo)} must stay
+                # far above the dtype's smallest normal (f32: e⁻⁶⁰ ≈
+                # 1e-26 headroom; f64: e⁻⁶⁰⁰)
+                x_g = (gamma_ - c_) / e_
+                y_g = math.acosh(x_g) if x_g > 1.0 + 1e-15 else 0.0
+                u_head = 60.0 if fdt is not None else 600.0
+                y_drop = y_g - _y(i_lo)
+                if y_drop > 1e-9:
+                    d_new = min(d_new, max(8, int(u_head / y_drop)))
+                ratio_cap = min(
+                    ratio_cap,
+                    max(8, int(u_head / y_drop)) if y_drop > 1e-9
+                    else degree_cap,
+                )
                 if deg is None or top <= 0.3 * prev_top:
                     deg = d_new
                 else:
@@ -344,7 +415,7 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             X = _filter_qr(
                 op, X, jnp.asarray(frozen),
                 jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
-                jnp.asarray(gamma_, cdt), deg, qr_method,
+                jnp.asarray(gamma_, cdt), deg, qr_method, fdt=fdt,
             )
 
         lam = th[:k].astype(np.float64)

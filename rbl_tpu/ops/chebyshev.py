@@ -133,3 +133,119 @@ class ChebyshevFilterOperator(LinearOperator):
                 y, 2.0 * sig_new * xs * y - sig * sig_new * y_prev, sig_new
             )
         return y
+
+
+def _leja_order(x):
+    """Greedy Leja ordering of the points x: each next point maximizes the
+    product of distances to those already chosen.  Keeps the partial
+    products of the factored filter well-scaled (the classic ordering for
+    product-form polynomial evaluation)."""
+    import numpy as np
+
+    n = len(x)
+    sel = np.zeros(n, bool)
+    acc = np.zeros(n)
+    j = int(np.argmax(np.abs(x)))
+    order = [j]
+    sel[j] = True
+    for _ in range(n - 1):
+        acc = acc + np.log(np.abs(x - x[j]) + 1e-300)
+        masked = np.where(sel, -np.inf, acc)
+        j = int(np.argmax(masked))
+        order.append(j)
+        sel[j] = True
+    return np.asarray(order)
+
+
+@register_operator
+@dataclasses.dataclass(frozen=True)
+class ChebyshevProductFilter(LinearOperator):
+    """The degree-d Chebyshev filter T_d((A−c)/e) evaluated as the product
+    of its d linear factors (A − r_i·I), r_i the Chebyshev roots of the
+    damped interval [a, b], visited in Leja order with per-step column
+    normalization.
+
+    Same filtered SUBSPACE as ChebyshevFilterOperator (columns differ by
+    positive per-column scales, which every consumer normalizes away), but
+    built exclusively from the `(A·Y − r·Y)` pattern — measured on the
+    axon TPU backend, that pattern chains at ~1e-16/step in emulated f64
+    while the σ-scaled three-term recurrence loses ~1.4e-7/step (an
+    effectively-f32 fused multiply-subtract; 137-step chains read 1.9e-5
+    relative vs 2.4e-13 on CPU).  The per-step normalization also removes
+    the scaled form's range hazard (p-values e^{−d·y} underflow the
+    float-float emulation's f32 exponent range), so no underflow degree
+    cap is needed.
+
+    a/b are 0-d array leaves: interval moves reuse the compiled apply;
+    only a degree change recompiles."""
+
+    base: LinearOperator
+    a: jax.Array      # 0-d: damped-interval lower edge (≤ λ_min!)
+    b: jax.Array      # 0-d: damped-interval upper edge (the cutoff)
+    degree: int = static_field(default=24)
+
+    @classmethod
+    def make(cls, base: LinearOperator, a: float, b: float,
+             degree: int = 24):
+        dt = base.dtype
+        if not (a < b):
+            raise ValueError(f"need a < b, got a={a}, b={b}")
+        if degree < 1:
+            raise ValueError(f"degree must be >= 1, got {degree}")
+        return cls(
+            base=base,
+            a=jnp.asarray(a, dt),
+            b=jnp.asarray(b, dt),
+            degree=int(degree),
+        )
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def _unit_roots(self):
+        """Leja-ordered roots of T_d on the REFERENCE interval [−1, 1] —
+        a compile-time constant; the affine map to [a, b] happens in
+        traced arithmetic so interval moves stay leaf updates."""
+        import numpy as np
+
+        d = self.degree
+        r = np.cos((2 * np.arange(1, d + 1) - 1) * np.pi / (2 * d))
+        return r[_leja_order(r)]
+
+    def apply(self, X: jax.Array) -> jax.Array:
+        c = (self.a + self.b) / 2
+        e = (self.b - self.a) / 2
+        roots = jnp.asarray(self._unit_roots(), X.dtype)
+
+        def step(i, Y):
+            r = c + e * roots[i]
+            Y = self.base.apply(Y) - r * Y
+            nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
+            return Y / jnp.where(nrm > 0, nrm, 1.0)
+
+        return lax.fori_loop(0, self.degree, step, X)
+
+    def scalar_direction(self, x):
+        """sign(p(x))·|p(x)| up to a global positive scale, via
+        log-magnitude accumulation (test oracle — the operator's output
+        is only defined up to positive per-column scaling)."""
+        import numpy as np
+
+        a = float(self.a); b = float(self.b)
+        c = (a + b) / 2.0
+        e = (b - a) / 2.0
+        xs = np.asarray(x, dtype=np.float64)
+        roots = c + e * self._unit_roots()
+        logm = np.zeros_like(xs, dtype=np.float64)
+        sign = np.ones_like(xs)
+        for r in roots:
+            t = xs - r
+            logm = logm + np.log(np.abs(t) + 1e-300)
+            sign = sign * np.sign(t)
+        logm = logm - np.max(logm)
+        return sign * np.exp(logm)

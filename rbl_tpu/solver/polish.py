@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RBLConfig
-from ..ops.chebyshev import ChebyshevFilterOperator
+from ..ops.chebyshev import ChebyshevProductFilter  # noqa: F401 — re-export for polish consumers
 from ..ops.contract import gram
 from ..ops.qr import block_qr
 from ..ops.spmm.operator import AffineOperator, as_operator
@@ -73,36 +73,40 @@ def _rr_rotate(X, AX, Y, theta):
 
 
 @partial(jax.jit, static_argnames=("degree", "qr_method", "fdt"))
-def _filter_qr(op, X, frozen, a, b, gamma, degree, qr_method, fdt=None):
+def _filter_qr(op, X, frozen, a, b, degree, qr_method, fdt=None):
     """One Chebyshev filter pass + re-orthonormalization.
 
-    The filtered columns' norms spread by p(λ₁)/τ (up to ~10⁷), which would
-    square into the Gram condition and sink CholeskyQR — normalize columns
-    FIRST, then the Gram matrix's condition reflects only angles (near 1
-    for a near-converged block) and cholqr2 is exact to f64 rounding.
-    a/b/gamma are 0-d leaves: interval moves between passes hit the jit
-    cache; only a degree or fdt change recompiles.
+    The filter is the PRODUCT form (ChebyshevProductFilter): on the axon
+    TPU backend the σ-scaled three-term recurrence loses ~1.4e-7/step in
+    emulated f64 (an effectively-f32 fused multiply-subtract — measured
+    1.9e-5 relative at degree 137 vs 2.4e-13 on CPU, which stalled the
+    whole polish at a 1.3e-5 residual floor), while the factored
+    `(A·Y − r·Y)` chain holds ~1e-16/step on the same hardware.  Its
+    per-step column normalization also removes the scaled form's
+    f32-exponent-range underflow hazard.
+
+    a/b are 0-d leaves: interval moves between passes hit the jit cache;
+    only a degree or fdt change recompiles.
 
     ``fdt`` optionally runs the FILTER CHAIN in a lower precision (f32 on
-    TPU: native MXU instead of X64-split emulation, ~an order of magnitude
-    per SpMM).  The subspace noise this injects (~√d·eps_f32 relative) is
-    repaired by the enclosing loop: the post-filter QR and the
-    Rayleigh–Ritz always run in X's own (compute) dtype, and the driver
-    switches fdt to the compute dtype once the residuals approach the f32
-    floor (see _chebyshev_refine_impl)."""
+    TPU: native VPU/MXU ops instead of X64-split emulation).  The subspace
+    noise this injects (~√d·eps_f32 relative) is repaired by the enclosing
+    loop: the post-filter QR and the Rayleigh–Ritz always run in X's own
+    (compute) dtype, and the driver switches fdt to the compute dtype once
+    the residuals approach the f32 floor (see _chebyshev_refine_impl)."""
+    from ..ops.chebyshev import ChebyshevProductFilter
+
     xdt = X.dtype
     if fdt is not None and jnp.dtype(fdt) != xdt:
         from ..ops.spmm.operator import cast_operator
 
-        fop = ChebyshevFilterOperator(
+        fop = ChebyshevProductFilter(
             base=cast_operator(op, fdt), a=a.astype(fdt), b=b.astype(fdt),
-            gamma=gamma.astype(fdt), degree=degree,
+            degree=degree,
         )
         Y = fop.apply(X.astype(fdt)).astype(xdt)
     else:
-        fop = ChebyshevFilterOperator(
-            base=op, a=a, b=b, gamma=gamma, degree=degree
-        )
+        fop = ChebyshevProductFilter(base=op, a=a, b=b, degree=degree)
         Y = fop.apply(X)
     nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
     Y = Y / jnp.where(nrm > 0, nrm, 1.0)
@@ -238,9 +242,19 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
         # sinking the Cholesky (same rationale as _filter_qr)
         nrm = jnp.sqrt(jnp.sum(W * W, axis=0))
         W = W / jnp.where(nrm > 0, nrm, 1.0)
-        X, _ = block_qr(W, method="cholqr2" if cdt.itemsize >= 8
-                        else cfg.resolved_qr_method())
-        qr_method = "cholqr2"
+        # QR method: f64 on an ACCELERATOR must use Householder — the
+        # float-float emulation of cholesky/triangular_solve is f32-grade
+        # (measured ‖QᵀQ−I‖ = 5.4e-6 vs Householder's 1.1e-13 on the same
+        # TPU block), which floored the whole polish at ~1e-5 residuals.
+        # CPU f64 and all-f32 configs keep CholeskyQR2 (exact there, and
+        # matmul-speed).
+        if cdt.itemsize >= 8 and jax.default_backend() != "cpu":
+            qr_method = "householder"
+        elif cdt.itemsize >= 8:
+            qr_method = "cholqr2"
+        else:
+            qr_method = cfg.resolved_qr_method()
+        X, _ = block_qr(W, method=qr_method)
 
         hi = hi_u
         if hi is None:
@@ -310,26 +324,12 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             else:
                 a_ = float(lo_u) if lo_u is not None else -hi
                 b_ = float(th[ci]) - margin
-            # Normalization point TIGHT to the spectrum top, not the
-            # power-method norm bound: p(θ) = e^{−d·(y_γ − y_θ)} under the
-            # scaled recurrence, and a γ 10% above the passband drives the
-            # whole wanted block to e^{−150}-class values — fine in f64,
-            # IDENTICALLY ZERO in f32 (measured: the f32 filter phase
-            # returned an all-zero block and the RR collapsed to sea
-            # garbage).  θ₀ + 2·res₀ is a residual-certified upper bound
-            # of the eigenvalue θ₀ approximates; anything pathologically
-            # above γ is amplified, found by the next RR, and γ
-            # self-corrects — the underflow cap below bounds the transient.
-            gamma_ = float(np.abs(th[0])) + max(
-                2.0 * float(res[0]), 1e-3 * scale
-            )
-            span = gamma_ - a_
+            span = max(float(np.abs(th[0])) - a_, 1e-300)
             if not (b_ - a_ > 1e-12 * max(span, 1.0)):
                 # degenerate geometry (subspace ≈ whole space, or a flat
                 # cluster down to a_): nothing left to damp — plain RR
                 # iteration can't improve either, so stop honestly
                 break
-            b_ = min(b_, gamma_ - 1e-12 * max(span, 1.0))
 
             c_ = (a_ + b_) / 2.0
             e_ = (b_ - a_) / 2.0
@@ -387,20 +387,9 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                     else degree_cap
                 )
                 d_new = min(d_new, ratio_cap)
-                # underflow cap: p(θ_lo) = e^{−d·(y_γ − y_lo)} must stay
-                # far above the dtype's smallest normal (f32: e⁻⁶⁰ ≈
-                # 1e-26 headroom; f64: e⁻⁶⁰⁰)
-                x_g = (gamma_ - c_) / e_
-                y_g = math.acosh(x_g) if x_g > 1.0 + 1e-15 else 0.0
-                u_head = 60.0 if fdt is not None else 600.0
-                y_drop = y_g - _y(i_lo)
-                if y_drop > 1e-9:
-                    d_new = min(d_new, max(8, int(u_head / y_drop)))
-                ratio_cap = min(
-                    ratio_cap,
-                    max(8, int(u_head / y_drop)) if y_drop > 1e-9
-                    else degree_cap,
-                )
+                # (the scaled form's underflow cap is gone: the product
+                # filter's per-step column normalization keeps every
+                # intermediate O(1) at any degree)
                 if deg is None or top <= 0.3 * prev_top:
                     deg = d_new
                 else:
@@ -415,7 +404,7 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             X = _filter_qr(
                 op, X, jnp.asarray(frozen),
                 jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
-                jnp.asarray(gamma_, cdt), deg, qr_method, fdt=fdt,
+                deg, qr_method, fdt=fdt,
             )
 
         lam = th[:k].astype(np.float64)

@@ -31,7 +31,15 @@ def _chol_qr_once(X, acc_dtype):
     n, b = X.shape
     from .contract import _CHUNK
 
-    G = gram(X, X, acc_dtype=acc_dtype)
+    # The Gram pins the factorization's entire accuracy — compute it at
+    # HIGHEST matmul precision regardless of the ambient context.  On the
+    # TPU backend the ambient "high" loses two digits on an f32 Gram
+    # (measured ‖QᵀQ−I‖ 5.4e-5 vs 6.5e-7 at "highest", which matches CPU
+    # f32 — the likely source of the round-3 f32 TPU-vs-CPU residual
+    # divergence).  The b×b Gram is a sliver of the solve's FLOPs, so the
+    # extra passes cost nothing measurable.
+    with jax.default_matmul_precision("highest"):
+        G = gram(X, X, acc_dtype=acc_dtype)
     eps = jnp.finfo(acc_dtype).eps
     L = jnp.linalg.cholesky(G)
     # Fall back to a shifted Cholesky only on breakdown (nearly

@@ -1,0 +1,107 @@
+"""AOT executable cache (utils/aot.py) — the one-shot cold-start story
+(VERDICT r3 item 3; the reference's equivalent cost is Julia JIT
+seconds, packages.jl env)."""
+
+import os
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import rbl_tpu  # noqa: F401 — x64
+from rbl_tpu.utils.aot import aot_jit
+
+
+def _f(x, scale=2.0):
+    return (x @ x.T).sum() * scale
+
+
+def test_aot_disabled_without_cache_dir(monkeypatch):
+    monkeypatch.delenv("RBL_AOT_CACHE", raising=False)
+    f = aot_jit(_f, name="t0")
+    x = jnp.ones((8, 8))
+    np.testing.assert_allclose(float(f(x)), 1024.0)
+
+
+def test_aot_write_and_graceful_reload(tmp_path):
+    """In THIS test env (8 forced host devices) jax cannot execute a
+    deserialized single-device executable ("expected 8 shards") — the
+    cache must degrade to recompilation with a marker, never crash.  The
+    true cross-process roundtrip is covered by the single-device
+    subprocess test below and the TPU batch-B probe."""
+    cache = str(tmp_path / "aot")
+    x = jnp.arange(64.0, dtype=jnp.float32).reshape(8, 8)
+    f1 = aot_jit(_f, name="t1", cache_dir=cache)
+    v1 = float(f1(x))
+    files = [p for p in os.listdir(cache) if p.endswith(".aotx")]
+    assert len(files) == 1
+    f2 = aot_jit(_f, name="t1", cache_dir=cache)
+    v2 = float(f2(x))
+    np.testing.assert_allclose(v1, v2)
+
+
+def test_aot_roundtrip_single_device_subprocess(tmp_path):
+    """True cold-start roundtrip: process A compiles + serializes,
+    process B (fresh interpreter, same cache) loads WITHOUT lowering."""
+    import subprocess
+    import sys
+
+    cache = str(tmp_path / "aot")
+    prog = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import rbl_tpu
+from rbl_tpu.utils.aot import aot_jit
+
+def _f(x, scale=2.0):
+    return (x @ x.T).sum() * scale
+
+f = aot_jit(_f, name="sub", cache_dir={cache!r})
+mode = sys.argv[1]
+if mode == "read":
+    # loading must NOT lower: poison lower so a compile attempt fails loudly
+    f._jit = type("J", (), {{"lower": staticmethod(
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("lowered!")))}})()
+x = jnp.arange(64.0, dtype=jnp.float32).reshape(8, 8)
+print("VALUE", float(f(x)))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS="")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    src = prog.format(repo=repo, cache=cache)
+    for mode in ("write", "read"):
+        out = subprocess.run(
+            [sys.executable, "-c", src, mode], env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, (mode, out.stderr[-800:])
+        val = [ln for ln in out.stdout.splitlines() if ln.startswith("VALUE")]
+        assert val and abs(float(val[0].split()[1]) - 1021440.0) < 1e-3, (
+            mode, out.stdout)
+
+
+def test_aot_distinct_signatures_get_distinct_entries(tmp_path):
+    cache = str(tmp_path / "aot")
+    f = aot_jit(_f, name="t2", cache_dir=cache)
+    f(jnp.ones((4, 4)))
+    f(jnp.ones((8, 8)))
+    files = [p for p in os.listdir(cache) if p.endswith(".aotx")]
+    assert len(files) == 2
+
+
+def test_aot_poisoned_entry_degrades_gracefully(tmp_path):
+    cache = str(tmp_path / "aot")
+    os.makedirs(cache)
+    f = aot_jit(_f, name="t3", cache_dir=cache)
+    x = jnp.ones((4, 4))
+    key = f._signature((x,), {})
+    path = os.path.join(cache, f"t3-{key}.aotx")
+    with open(path, "wb") as fh:
+        pickle.dump(("garbage",), fh)
+    v = float(f(x))  # must rebuild, not crash
+    np.testing.assert_allclose(v, 128.0)
+    assert os.path.exists(path + ".disabled")

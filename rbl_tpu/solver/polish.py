@@ -122,6 +122,89 @@ def _filter_qr(op, X, frozen, a, b, degree, qr_method, fdt=None):
     return Q
 
 
+@jax.jit
+def _apply_only(op, X):
+    return op.apply(X)
+
+
+@jax.jit
+def _rotate_dev(X, Y):
+    # short-contraction GEMM — measured f64-clean on the TPU backend
+    # (3.2e-14), unlike LONG-axis contractions (see _host-mode note)
+    with jax.default_matmul_precision("highest"):
+        return jnp.dot(X, Y, preferred_element_type=X.dtype)
+
+
+@partial(jax.jit, static_argnames=("degree", "fdt"))
+def _filter_only(op, X, a, b, degree, fdt=None):
+    """The filter pass WITHOUT the QR — host-RR mode (accelerator f64)
+    does its orthogonalization on the host."""
+    from ..ops.chebyshev import ChebyshevProductFilter
+
+    xdt = X.dtype
+    if fdt is not None and jnp.dtype(fdt) != xdt:
+        from ..ops.spmm.operator import cast_operator
+
+        fop = ChebyshevProductFilter(
+            base=cast_operator(op, fdt), a=a.astype(fdt), b=b.astype(fdt),
+            degree=degree,
+        )
+        Y = fop.apply(X.astype(fdt)).astype(xdt)
+    else:
+        fop = ChebyshevProductFilter(base=op, a=a, b=b, degree=degree)
+        Y = fop.apply(X)
+    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
+    return Y / jnp.where(nrm > 0, nrm, 1.0)
+
+
+@jax.jit
+def _gram_highest(X):
+    with jax.default_matmul_precision("highest"):
+        return gram(X, X)
+
+
+@jax.jit
+def _apply_rinv(X, Rinv):
+    with jax.default_matmul_precision("highest"):
+        return jnp.dot(X, Rinv, preferred_element_type=X.dtype)
+
+
+def _host_cholqr(X, passes: int = 2):
+    """CholeskyQR with the b×b factorization on the HOST.
+
+    Built exclusively from primitives measured f64-clean on the axon TPU
+    backend (BENCHMARKS.md numerics census): device MXU Gram at HIGHEST +
+    device GEMM, with the tiny Cholesky/inverse in host numpy.  Needed
+    because BOTH device factorization routes fail there in emulated f64:
+    cholesky/triangular_solve are f32-grade, and jnp.linalg.qr's
+    orthogonality degrades value-dependently (‖QᵀQ−I‖ 1.3e-5 on a filtered
+    near-rank-deficient block, unrepaired by a second pass — vs 1.4e-13 on
+    random blocks of the same shape).  Two passes of exact-host-factor
+    CholeskyQR give ~eps orthonormality for cond(X) ≲ 1e7; a degenerate
+    column (fully damped buffer) is shift-guarded and comes out ≈ junk,
+    which the caller's Rayleigh–Ritz relegates to the trailing slots."""
+    import scipy.linalg as sla
+
+    m = X.shape[1]
+    for _ in range(passes):
+        G = np.asarray(_gram_highest(X), dtype=np.float64)
+        G = (G + G.T) / 2.0
+        shift = 0.0
+        eye = np.eye(m)
+        for attempt in range(4):
+            try:
+                L = np.linalg.cholesky(G + shift * eye)
+                break
+            except np.linalg.LinAlgError:
+                tr = max(np.trace(G), 1e-300)
+                shift = max(shift * 100.0, 1e-14 * tr / m)
+        else:  # pragma: no cover — pathological
+            raise FloatingPointError("host CholeskyQR breakdown")
+        Rinv = sla.solve_triangular(L.T, eye, lower=False)
+        X = _apply_rinv(X, jnp.asarray(Rinv, X.dtype))
+    return X
+
+
 def _auto_degree(x: float, gain: float, cap: int) -> int:
     """Smallest d with cosh(d·acosh(x)) ≥ gain (filter gain at relative
     coordinate x > 1), clamped to [8, cap]."""
@@ -242,19 +325,28 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
         # sinking the Cholesky (same rationale as _filter_qr)
         nrm = jnp.sqrt(jnp.sum(W * W, axis=0))
         W = W / jnp.where(nrm > 0, nrm, 1.0)
-        # QR method: f64 on an ACCELERATOR must use Householder — the
-        # float-float emulation of cholesky/triangular_solve is f32-grade
-        # (measured ‖QᵀQ−I‖ = 5.4e-6 vs Householder's 1.1e-13 on the same
-        # TPU block), which floored the whole polish at ~1e-5 residuals.
-        # CPU f64 and all-f32 configs keep CholeskyQR2 (exact there, and
-        # matmul-speed).
-        if cdt.itemsize >= 8 and jax.default_backend() != "cpu":
-            qr_method = "householder"
-        elif cdt.itemsize >= 8:
-            qr_method = "cholqr2"
+        # HOST-RR MODE (accelerator + f64): every LONG-axis f64 contraction
+        # on this backend is only f32-grade regardless of path or
+        # precision flag — direct dot, chunked einsum, scan-of-dots, and
+        # both device QR routes all measured ~1e-5-wrong on (65536, 90)
+        # blocks, while host LAPACK on the fetched block gives 2.5e-13
+        # residuals (BENCHMARKS.md numerics census).  So the Gram, the
+        # Rayleigh–Ritz rotation bookkeeping, and the QR move to HOST
+        # numpy; the device keeps what it does exactly: operator applies,
+        # the product-filter chain, and short-contraction rotation GEMMs.
+        # Traffic per pass = fetch A·X + fetch filtered block + push Q.
+        host_rr = cdt.itemsize >= 8 and jax.default_backend() != "cpu"
+        qr_method = ("cholqr2" if cdt.itemsize >= 8
+                     else cfg.resolved_qr_method())
+        Xh = None
+        if host_rr:
+            Wh = np.asarray(W, dtype=np.float64)
+            Xh, _ = np.linalg.qr(Wh)
+            X = jnp.asarray(Xh, cdt)
+            if sharding is not None:
+                X = jax.device_put(X, sharding)
         else:
-            qr_method = cfg.resolved_qr_method()
-        X, _ = block_qr(W, method=qr_method)
+            X, _ = block_qr(W, method=qr_method)
 
         hi = hi_u
         if hi is None:
@@ -273,8 +365,12 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
         converged = False
         npass = 0
         for p in range(max_passes):
-            H, AX = _rr_gram(op, X)
-            Hh = np.asarray(H, dtype=np.float64)
+            if host_rr:
+                AXh = np.asarray(_apply_only(op, X), dtype=np.float64)
+                Hh = Xh.T @ AXh
+            else:
+                H, AX = _rr_gram(op, X)
+                Hh = np.asarray(H, dtype=np.float64)
             if not np.all(np.isfinite(Hh)):
                 # raise the RETRYABLE class (scipy's ValueError would
                 # bypass every health-wait retry layer)
@@ -290,10 +386,18 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                 else np.argsort(-th_a, kind="stable")
             )
             th, Yh = th_a[order], Y_a[:, order]
-            X, res_j = _rr_rotate(
-                X, AX, jnp.asarray(Yh, dtype=cdt), jnp.asarray(th, dtype=cdt)
-            )
-            res = np.asarray(res_j, dtype=np.float64)
+            if host_rr:
+                Xh = Xh @ Yh
+                AXrh = AXh @ Yh
+                Rh = AXrh - Xh * th[None, :]
+                res = np.sqrt(np.sum(Rh * Rh, axis=0))
+                X = _rotate_dev(X, jnp.asarray(Yh, cdt))
+            else:
+                X, res_j = _rr_rotate(
+                    X, AX, jnp.asarray(Yh, dtype=cdt),
+                    jnp.asarray(th, dtype=cdt),
+                )
+                res = np.asarray(res_j, dtype=np.float64)
             npass = p + 1
             top = float(np.max(res[:k]))
             if top < cfg.tol:
@@ -401,11 +505,38 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                         ratio_cap,
                     )
             prev_top = top
-            X = _filter_qr(
-                op, X, jnp.asarray(frozen),
-                jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
-                deg, qr_method, fdt=fdt,
-            )
+            import os as _os
+
+            if _os.environ.get("RBL_DEBUG"):
+                print(
+                    f"[chebyshev_refine] pass {p}: top={top:.3e} "
+                    f"locked={int(np.sum(res[:k] < cfg.tol))}/{k} "
+                    f"deg={deg} fdt={fdt} cut={b_:.6g} "
+                    f"th0={float(th[0]):.8g} thk={float(th[k-1]):.8g} "
+                    f"thci={float(th[ci]):.8g}",
+                    flush=True,
+                )
+            if host_rr:
+                Yf = np.array(  # np.array: writable copy (np.asarray of a
+                    _filter_only(  # jax array is a read-only view)
+                        op, X, jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
+                        deg, fdt=fdt,
+                    ),
+                    dtype=np.float64,
+                )
+                # frozen columns pass through unfiltered (host copy is
+                # the rotated block); host LAPACK QR deflates the rest
+                Yf[:, frozen] = Xh[:, frozen]
+                Xh, _ = np.linalg.qr(Yf)
+                X = jnp.asarray(Xh, cdt)
+                if sharding is not None:
+                    X = jax.device_put(X, sharding)
+            else:
+                X = _filter_qr(
+                    op, X, jnp.asarray(frozen),
+                    jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
+                    deg, qr_method, fdt=fdt,
+                )
 
         lam = th[:k].astype(np.float64)
         if which == "SA":

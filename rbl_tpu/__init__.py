@@ -56,7 +56,7 @@ from .solver.generalized import PencilInfo, rbl_generalized
 from .ops.spmm.pallas_bsr import BlockSparseOperator
 from .solver.lanczos import LanczosResult, SweepAborted
 from .solver.rbl import RBL, RBL_gpu, rbl
-from .solver.polish import rbl_polished
+from .solver.polish import chebyshev_refine, rbl_polished
 from .solver.restarted import RBL_gpu_restarted, RBL_restarted, rbl_restarted
 from .solver.svd import SVDResult, rbl_svd
 from .compat import eigsh, svds
@@ -81,6 +81,7 @@ __all__ = [
     "LanczosResult",
     "rbl",
     "RBL",
+    "chebyshev_refine",
     "rbl_polished",
     "rbl_restarted",
     "RBL_restarted",

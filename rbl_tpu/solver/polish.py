@@ -504,6 +504,15 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                         degree_cap, max(d_new, int(deg * 1.5) + 8),
                         ratio_cap,
                     )
+                # bucket to the √2-geometric grid: each distinct degree is
+                # a fresh filter compile (20-60 s over the remote tunnel);
+                # rounding UP costs ≤ 41% extra SpMMs and only ADDS gain.
+                # Never round past the safety caps.
+                if deg < degree_cap:
+                    b_deg = 8
+                    while b_deg < deg:
+                        b_deg = int(b_deg * 1.4142) + 1
+                    deg = min(b_deg, degree_cap, ratio_cap)
             prev_top = top
             import os as _os
 

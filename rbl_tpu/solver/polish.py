@@ -335,7 +335,13 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
         # numpy; the device keeps what it does exactly: operator applies,
         # the product-filter chain, and short-contraction rotation GEMMs.
         # Traffic per pass = fetch A·X + fetch filtered block + push Q.
-        host_rr = cdt.itemsize >= 8 and jax.default_backend() != "cpu"
+        import os as _os
+
+        _force = _os.environ.get("RBL_POLISH_HOST_RR")
+        host_rr = (
+            cdt.itemsize >= 8 and jax.default_backend() != "cpu"
+            if _force is None else _force == "1"
+        )
         qr_method = ("cholqr2" if cdt.itemsize >= 8
                      else cfg.resolved_qr_method())
         Xh = None

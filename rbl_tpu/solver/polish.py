@@ -363,7 +363,9 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             )
 
         import scipy.linalg
+        import time as _time
 
+        _t_last = _time.perf_counter()
         deg = degree
         prev_top = np.inf
         th = np.zeros(m)
@@ -523,14 +525,16 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
             import os as _os
 
             if _os.environ.get("RBL_DEBUG"):
+                _t_now = _time.perf_counter()
                 print(
                     f"[chebyshev_refine] pass {p}: top={top:.3e} "
                     f"locked={int(np.sum(res[:k] < cfg.tol))}/{k} "
                     f"deg={deg} fdt={fdt} cut={b_:.6g} "
                     f"th0={float(th[0]):.8g} thk={float(th[k-1]):.8g} "
-                    f"thci={float(th[ci]):.8g}",
+                    f"thci={float(th[ci]):.8g} dt={_t_now - _t_last:.2f}s",
                     flush=True,
                 )
+                _t_last = _t_now
             if host_rr:
                 Yf = np.array(  # np.array: writable copy (np.asarray of a
                     _filter_only(  # jax array is a read-only view)

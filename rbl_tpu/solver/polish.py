@@ -582,6 +582,7 @@ def rbl_polished(
     bounds: Optional[Tuple[Optional[float], Optional[float]]] = None,
     degree: Optional[int] = None,
     max_passes: int = 12,
+    target_gain: float = 1e4,
     timer=None,
     checkpoint_path: Optional[str] = None,
     # legacy restarted-polish knobs, still honored by the cold fallback
@@ -639,5 +640,6 @@ def rbl_polished(
 
     return chebyshev_refine(
         A, warm_V, k, cfg=cfg.replace(block_size=b), which=which,
-        bounds=bounds, degree=degree, max_passes=max_passes, timer=timer,
+        bounds=bounds, degree=degree, max_passes=max_passes,
+        target_gain=target_gain, timer=timer,
     )

@@ -71,6 +71,7 @@ echo "== process B: deserialize + run (fresh interpreter) =="
 timeout 1800 python - "$BLOB" <<'PY' 2>&1 | log aot_probe_b
 import json, pickle, sys, time
 import numpy as np
+import rbl_tpu  # noqa: F401 — enables x64 (the executable was compiled f64)
 import jax
 import jax.numpy as jnp
 from jax.experimental import serialize_executable as se

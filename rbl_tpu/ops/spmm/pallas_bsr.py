@@ -288,6 +288,108 @@ def _make_packed_resident_kernel(unroll: int, bk: int):
     return kernel
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bm", "bk", "H", "unroll", "interpret", "out_dtype"),
+)
+def bsr_spmm_panel(tile_cols, hcount, rptr, vals_t, X, *, bm: int,
+                   bk: int, H: int, unroll: int = 1,
+                   interpret: bool = False, out_dtype=None):
+    """Y = A @ X, packed-PANEL layout: ONE large-contraction MXU dot per
+    chunk.
+
+    The round-4 DMA-stream decomposition (BENCHMARKS.md "SpMM fine-tile
+    ceiling") showed the packed kernel is MXU-ISSUE bound, not DMA bound:
+    per chunk, U separate (bm, bk)@(bk, b) dots cap effective bandwidth
+    at ~300-410 GB/s while the bare tile stream runs 900-1200 GB/s.  Here
+    the chunk's U tiles are stored as one TRANSPOSED (U·bk, bm) panel
+    (host-side repack: ``vals_t``: (nchunks, U·bk, bm), tile u at rows
+    [u·bk, (u+1)·bk)) and contracted in a single dot against the stacked
+    X gather — contraction length U·bk (2-4k), one MXU issue per chunk.
+
+    The X gather uses the lane-exact resident (ncb, b, bk) layout;
+    building the (b, U·bk) left operand swaps the two SUBLANE axes (U, b)
+    and reshapes — lanes (bk) untouched, no relayout of the wide dim.
+    The accumulator is (b, bm); out is written transposed once per
+    block-row.  X must already be padded to (ncb*bk, b) rows."""
+    nb = rptr.shape[0]
+    ncb = X.shape[0] // bk
+    b = X.shape[1]
+    out_dtype = out_dtype or X.dtype
+    U = unroll
+    Xt = X.reshape(ncb, bk, b).transpose(0, 2, 1)  # (ncb, b, bk)
+
+    def clamped(i, j, hcnt, rptr_):
+        return rptr_[i] + jnp.minimum(j, jnp.maximum(hcnt[i] - 1, i * 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, H),
+        in_specs=[
+            pl.BlockSpec(
+                (1, U * bk, bm),
+                lambda i, j, cols, hcnt, rptr_: (
+                    clamped(i, j, hcnt, rptr_), i * 0, i * 0
+                ),
+            ),
+            pl.BlockSpec(
+                (ncb, b, bk),
+                lambda i, j, cols, hcnt, rptr_: (i * 0, i * 0, i * 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, b), lambda i, j, cols, hcnt, rptr_: (i, i * 0)
+        ),
+        scratch_shapes=[pltpu.VMEM(
+            (b, bm),
+            jnp.float64 if X.dtype == jnp.float64 else jnp.float32,
+        )],
+    )
+
+    def kernel(cols_ref, hcnt_ref, rptr_ref, vals_ref, xt_ref, out_ref,
+               acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(j < hcnt_ref[i])
+        def _():
+            base = (rptr_ref[i] + j) * U
+            xs = jnp.stack(
+                [xt_ref[cols_ref[base + u]] for u in range(U)], axis=0
+            )  # (U, b, bk)
+            xflat = jnp.swapaxes(xs, 0, 1).reshape(b, U * bk)
+            acc_ref[:] += jax.lax.dot_general(
+                xflat, vals_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].T.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bm, b), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals_t.shape[0] * U * bm * bk * b,
+            bytes_accessed=(
+                vals_t.size * vals_t.dtype.itemsize
+                + Xt.size * X.dtype.itemsize
+                + nb * bm * b * np.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(tile_cols, hcount, rptr, vals_t, Xt)
+
+
 # X kept VMEM-resident when its lane-exact layout fits comfortably beside
 # the double-buffered A tiles (v5e VMEM ≈ 16 MB; leave headroom)
 _RESIDENT_X_BYTES = 8 * 2**20
@@ -546,7 +648,8 @@ class BlockSparseOperator(LinearOperator):
     tile_cols: jax.Array    # (T,) int32 column-block id per packed tile
     hcount: jax.Array       # (nb,) int32 chunk count per block-row
     rptr: jax.Array         # (nb,) int32 first chunk of each block-row
-    vals: jax.Array         # (T, bm, bk) packed tiles (zeros in padding)
+    vals: jax.Array         # (T, bm, bk) packed tiles — or, when
+    #                         panel=True, (T//U, U·bk, bm) transposed panels
     diag: jax.Array | None = None  # (n,) — stashed at construction
     _n: int = static_field(default=0)
     H: int = static_field(default=1)
@@ -554,6 +657,7 @@ class BlockSparseOperator(LinearOperator):
     bk: int = static_field(default=128)
     unroll: int = static_field(default=1)
     interpret: bool = static_field(default=False)
+    panel: bool = static_field(default=False)
 
     @property
     def shape(self):
@@ -575,8 +679,17 @@ class BlockSparseOperator(LinearOperator):
         # RHS-resident variant when X fits VMEM beside the A-tile
         # pipeline: kills the per-step tiny X DMAs (NEXT r2 item 3)
         xbytes = ncb * self.bk * X.shape[1] * jnp.dtype(self.dtype).itemsize
-        fn = (bsr_spmm_packed_resident
-              if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
+        if self.panel:
+            if xbytes > _RESIDENT_X_BYTES:
+                raise ValueError(
+                    "panel layout requires the RHS resident in VMEM "
+                    f"({xbytes} bytes > {_RESIDENT_X_BYTES}) — rebuild "
+                    "with panel=False for this block width"
+                )
+            fn = bsr_spmm_panel
+        else:
+            fn = (bsr_spmm_packed_resident
+                  if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
         Y = fn(
             self.tile_cols, self.hcount, self.rptr, self.vals,
             Xp.astype(self.dtype),
@@ -592,7 +705,7 @@ class BlockSparseOperator(LinearOperator):
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, bm: int | None = None,
                    bk: int = 128, interpret: bool | None = None,
-                   unroll: int | None = None):
+                   unroll: int | None = None, panel: bool = False):
         """Build from a scipy sparse symmetric matrix.
 
         ``bm=None`` auto-tunes the tile height from the matrix's tile-fill
@@ -621,6 +734,14 @@ class BlockSparseOperator(LinearOperator):
         tile_cols, hcount, rptr, vals, nb, ncb, H = _packed_bsr_from_scipy(
             A, bm, bk, unroll, dtype
         )
+        if panel:
+            # repack (T, bm, bk) tiles → (T/U, U·bk, bm) transposed panels
+            nch = vals.shape[0] // unroll
+            vals = np.ascontiguousarray(
+                vals.reshape(nch, unroll, bm, bk)
+                .transpose(0, 1, 3, 2)
+                .reshape(nch, unroll * bk, bm)
+            )
         import scipy.sparse as sp
 
         return cls(
@@ -637,6 +758,7 @@ class BlockSparseOperator(LinearOperator):
             bk=bk,
             unroll=unroll,
             interpret=interpret,
+            panel=panel,
         )
 
     def density_report(self) -> str:

@@ -416,3 +416,32 @@ def test_packed_resident_matches_streaming():
         pb._RESIDENT_X_BYTES = old
     np.testing.assert_allclose(y_res, y_str, atol=1e-12)
     np.testing.assert_allclose(y_res, A @ np.asarray(X), atol=1e-10)
+
+
+def test_packed_panel_layout_matches_packed():
+    """Panel layout (one large-contraction dot per chunk — round-4 SpMM
+    ceiling decomposition) must reproduce the packed kernel exactly on a
+    block-structured matrix, including ragged rows and padding chunks."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from rbl_tpu.ops.spmm.pallas_bsr import BlockSparseOperator
+
+    rng = np.random.default_rng(7)
+    n = 768
+    A = sp.random(n, n, density=0.03, random_state=3).tocsr()
+    A = A + A.T
+    X = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    ref = np.asarray(A @ np.asarray(X))
+    for bm, U in ((16, 4), (32, 2), (16, 8)):
+        packed = BlockSparseOperator.from_scipy(
+            A, dtype=jnp.float32, bm=bm, unroll=U, panel=False)
+        pan = BlockSparseOperator.from_scipy(
+            A, dtype=jnp.float32, bm=bm, unroll=U, panel=True)
+        Yp = np.asarray(packed.apply(X))
+        Ya = np.asarray(pan.apply(X))
+        np.testing.assert_allclose(Ya, Yp, rtol=1e-5, atol=1e-4)
+        rel = np.linalg.norm(Ya - ref) / np.linalg.norm(ref)
+        assert rel < 1e-5, (bm, U, rel)

@@ -157,54 +157,6 @@ def _filter_only(op, X, a, b, degree, fdt=None):
     return Y / jnp.where(nrm > 0, nrm, 1.0)
 
 
-@jax.jit
-def _gram_highest(X):
-    with jax.default_matmul_precision("highest"):
-        return gram(X, X)
-
-
-@jax.jit
-def _apply_rinv(X, Rinv):
-    with jax.default_matmul_precision("highest"):
-        return jnp.dot(X, Rinv, preferred_element_type=X.dtype)
-
-
-def _host_cholqr(X, passes: int = 2):
-    """CholeskyQR with the b×b factorization on the HOST.
-
-    Built exclusively from primitives measured f64-clean on the axon TPU
-    backend (BENCHMARKS.md numerics census): device MXU Gram at HIGHEST +
-    device GEMM, with the tiny Cholesky/inverse in host numpy.  Needed
-    because BOTH device factorization routes fail there in emulated f64:
-    cholesky/triangular_solve are f32-grade, and jnp.linalg.qr's
-    orthogonality degrades value-dependently (‖QᵀQ−I‖ 1.3e-5 on a filtered
-    near-rank-deficient block, unrepaired by a second pass — vs 1.4e-13 on
-    random blocks of the same shape).  Two passes of exact-host-factor
-    CholeskyQR give ~eps orthonormality for cond(X) ≲ 1e7; a degenerate
-    column (fully damped buffer) is shift-guarded and comes out ≈ junk,
-    which the caller's Rayleigh–Ritz relegates to the trailing slots."""
-    import scipy.linalg as sla
-
-    m = X.shape[1]
-    for _ in range(passes):
-        G = np.asarray(_gram_highest(X), dtype=np.float64)
-        G = (G + G.T) / 2.0
-        shift = 0.0
-        eye = np.eye(m)
-        for attempt in range(4):
-            try:
-                L = np.linalg.cholesky(G + shift * eye)
-                break
-            except np.linalg.LinAlgError:
-                tr = max(np.trace(G), 1e-300)
-                shift = max(shift * 100.0, 1e-14 * tr / m)
-        else:  # pragma: no cover — pathological
-            raise FloatingPointError("host CholeskyQR breakdown")
-        Rinv = sla.solve_triangular(L.T, eye, lower=False)
-        X = _apply_rinv(X, jnp.asarray(Rinv, X.dtype))
-    return X
-
-
 def _auto_degree(x: float, gain: float, cap: int) -> int:
     """Smallest d with cosh(d·acosh(x)) ≥ gain (filter gain at relative
     coordinate x > 1), clamped to [8, cap]."""

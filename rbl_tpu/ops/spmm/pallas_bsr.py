@@ -296,7 +296,10 @@ def bsr_spmm_panel(tile_cols, hcount, rptr, vals_t, X, *, bm: int,
                    bk: int, H: int, unroll: int = 1,
                    interpret: bool = False, out_dtype=None):
     """Y = A @ X, packed-PANEL layout: ONE large-contraction MXU dot per
-    chunk.
+    chunk.  MEASURED SLOWER than the packed kernel (round-4 batch F:
+    2-3x — the gather relayout and the skinny (b, U*bk) operand's 8/128
+    MXU lane utilization outweigh the issue-count savings); kept as the
+    recorded negative result of the ceiling investigation.
 
     The round-4 DMA-stream decomposition (BENCHMARKS.md "SpMM fine-tile
     ceiling") showed the packed kernel is MXU-ISSUE bound, not DMA bound:

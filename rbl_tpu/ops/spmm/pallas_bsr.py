@@ -522,10 +522,11 @@ def pick_tile_plan(A, bk: int = 128,
     for bm in heights:
         _, ukey, _, _, counts, nb, _ = _tile_census(A, bm, bk)
         for U in unrolls:
-            # U=32 is measured only at bm=16 (resident sweep: 3.42 ms,
-            # the fixture best); at taller tiles its padded bytes grow
-            # past what the uniform-bandwidth model can rank — restrict
-            # until measured
+            # U>=32 restricted to bm=16 — MEASURED, not provisional
+            # (round-4 batch W, blocky-64k: bm16/U32 3.40 ms vs bm32
+            # 5.09, bm64 6.50, bm128 8.68; U16 likewise prefers bm16):
+            # taller tiles at high unroll pad more bytes than the larger
+            # chunks save
             if U >= 32 and bm > 16:
                 continue
             chunks = np.maximum(-(-counts // U), 1)

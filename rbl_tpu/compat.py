@@ -315,6 +315,17 @@ def eigsh(
         raise NotImplementedError(
             f"which={which!r} not supported (LM/LA/SA/BE/SM are)"
         )
+    if cfg is None and sigma is not None:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            # Shift-invert / pencil pipelines are precision-critical in
+            # their inner recurrences: the accelerator's "high" matmul
+            # tier leaves f32 vibration residuals at 1.3e-4 where CPU
+            # reaches 3.5e-6, and "highest" restores parity at ~18% cost
+            # on these HBM-bound solves (round-4 batch V: 3.24e-6).  A
+            # user-supplied cfg overrides.
+            cfg = RBLConfig(matmul_precision="highest")
     cfg = _cfg_with_tol_ncv(cfg, tol, ncv, k)
     bsz = b or _default_block(k)
 

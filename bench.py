@@ -171,10 +171,14 @@ def main():
         from rbl_tpu.config import RBLConfig
 
         op32 = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
+        # tol 1e-4: the deepest the f32 SWEEP converges on this clustered
+        # top within the HBM-clamped basis (3e-5 cap-hit at rel 6.3e-3 in
+        # the round-4 preflight; the at-ref-tol polish row below owns the
+        # tighter tiers)
         cfg32 = RBLConfig(
             block_size=8, basis_dtype=jnp.float32,
-            compute_dtype=jnp.float32, qr_method="cholqr2", tol=3e-5,
-            max_kryl_dim=1024, eig_poll_cadence=16, seed=0,
+            compute_dtype=jnp.float32, qr_method="cholqr2", tol=1e-4,
+            max_kryl_dim=1280, eig_poll_cadence=16, seed=0,
         )
         try:
             def _f32row(seed):
@@ -189,7 +193,7 @@ def main():
                                          sleep_s=30, validate=_finite)
             w5 = np.sort(np.asarray(res5.eigenvalues))[::-1]
             out["f32_floor_s"] = round(dt5, 3)
-            out["f32_floor_tol"] = 3e-5
+            out["f32_floor_tol"] = 1e-4
             out["f32_floor_max_rel_err"] = float(
                 np.max(np.abs(w5 - lam50) / lam50)
             )

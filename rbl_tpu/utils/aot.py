@@ -7,9 +7,10 @@ path (round-3 batch-P probe: cache entries written, never reloaded), and
 the reference's equivalent cost is Julia JIT seconds.  The explicit
 route — ``jax.jit(f).lower(args).compile()`` +
 ``jax.experimental.serialize_executable`` — hands the backend a finished
-executable; this module wraps it in a disk cache keyed on the program
-name, jax version, backend/device kind, and the abstract operand
-signature.
+executable (round-4 batch-B probe: deserialize+execute works through
+axon); this module wraps it in a disk cache keyed on the program name,
+jax version, backend/device kind, static arguments, and the abstract
+operand signature.
 
 Opt-in: set ``RBL_AOT_CACHE=<dir>`` (or pass ``cache_dir``).  Without it
 ``aot_jit`` behaves exactly like ``jax.jit``.  Serialization failures
@@ -20,6 +21,7 @@ cache must never break a solve.
 from __future__ import annotations
 
 import hashlib
+import inspect
 import os
 import pickle
 import tempfile
@@ -38,12 +40,14 @@ class aot_jit:
     Usage::
 
         f = aot_jit(fn, name="polish_filter", static_argnames=("degree",))
-        y = f(x)          # plain jit unless RBL_AOT_CACHE is set
+        y = f(x, degree=8)    # plain jit unless RBL_AOT_CACHE is set
 
-    With a cache dir, the first call per operand signature lowers,
-    compiles, runs, and serializes the executable; a later PROCESS with
-    the same signature deserializes and skips compilation entirely.
-    """
+    With a cache dir, the first call per (static args, operand signature)
+    lowers, compiles, runs, and serializes the executable; a later
+    PROCESS with the same signature deserializes and skips compilation.
+    Static arguments may be passed positionally or by keyword — they are
+    resolved through the function's signature (a compiled XLA executable
+    accepts only the DYNAMIC operands)."""
 
     def __init__(self, fn: Callable, name: Optional[str] = None,
                  static_argnames: Sequence[str] = (),
@@ -51,12 +55,32 @@ class aot_jit:
         self._fn = fn
         self._name = name or getattr(fn, "__name__", "fn")
         self._static = tuple(static_argnames)
+        self._sig = inspect.signature(fn)
         self._jit = jax.jit(fn, static_argnames=self._static or None)
         self._cache_dir = cache_dir
         self._loaded: dict = {}
 
-    # -- key --------------------------------------------------------------
-    def _signature(self, args, kwargs) -> str:
+    # -- signature plumbing ----------------------------------------------
+    def _split(self, args, kwargs):
+        """Split the call into (static dict, dynamic positional list,
+        dynamic kwargs dict), PRESERVING the caller's positional/keyword
+        partition — a compiled XLA executable's call convention mirrors
+        the (args, kwargs) pytree it was lowered with, minus statics."""
+        pos_names = list(self._sig.parameters)[: len(args)]
+        static, dyn_pos, dyn_kw = {}, [], {}
+        for pname, val in zip(pos_names, args):
+            if pname in self._static:
+                static[pname] = val
+            else:
+                dyn_pos.append(val)
+        for pname, val in kwargs.items():
+            if pname in self._static:
+                static[pname] = val
+            else:
+                dyn_kw[pname] = val
+        return static, dyn_pos, dyn_kw
+
+    def _key(self, static, dyn_pos, dyn_kw) -> str:
         import numpy as np
 
         parts = [self._name, jax.__version__, jax.default_backend()]
@@ -64,18 +88,14 @@ class aot_jit:
             parts.append(jax.devices()[0].device_kind)
         except Exception:  # pragma: no cover — backend without devices
             parts.append("unknown")
-        dyn_kwargs = {k: v for k, v in kwargs.items()
-                      if k not in self._static}
-        static_kwargs = {k: v for k, v in kwargs.items()
-                         if k in self._static}
-        leaves, treedef = jax.tree_util.tree_flatten((args, dyn_kwargs))
+        leaves, treedef = jax.tree_util.tree_flatten((dyn_pos, dyn_kw))
         for leaf in leaves:
             if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
                 parts.append(f"{tuple(leaf.shape)}:{np.dtype(leaf.dtype)}")
             else:
                 parts.append(repr(leaf))
         parts.append(str(treedef))
-        parts.append(repr(sorted(static_kwargs.items())))
+        parts.append(repr(sorted(static.items())))
         return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
     # -- call -------------------------------------------------------------
@@ -83,11 +103,14 @@ class aot_jit:
         cache_dir = self._cache_dir or cache_dir_from_env()
         if not cache_dir:
             return self._jit(*args, **kwargs)
-        key = self._signature(args, kwargs)
+        try:
+            static, dyn_pos, dyn_kw = self._split(args, kwargs)
+        except TypeError:
+            return self._jit(*args, **kwargs)
+        key = self._key(static, dyn_pos, dyn_kw)
         ex = self._loaded.get(key)
         if ex is not None:
-            return ex(*args, **{k: v for k, v in kwargs.items()
-                                if k not in self._static})
+            return ex(*dyn_pos, **dyn_kw)
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir, f"{self._name}-{key}.aotx")
         disabled = path + ".disabled"
@@ -97,14 +120,10 @@ class aot_jit:
 
                 with open(path, "rb") as f:
                     blob = pickle.load(f)
-                ex = se.deserialize_and_load(*blob)
-                out = self._call_loaded(
-                    ex, args,
-                    {k: v for k, v in kwargs.items()
-                     if k not in self._static},
-                )
+                loaded = se.deserialize_and_load(*blob)
+                out = self._call_loaded(loaded, dyn_pos, dyn_kw)
                 self._loaded[key] = (
-                    lambda *a, **k: self._call_loaded(ex, a, k)
+                    lambda *dp, **dk: self._call_loaded(loaded, dp, dk)
                 )
                 return out
             except Exception as e:  # cache poisoned/incompatible: rebuild
@@ -126,25 +145,28 @@ class aot_jit:
             except Exception as e:
                 self._mark_disabled(disabled, f"serialize: {e}")
         self._loaded[key] = compiled
-        return compiled(*args, **{k: v for k, v in kwargs.items()
-                                  if k not in self._static})
+        return compiled(*dyn_pos, **dyn_kw)
 
     @staticmethod
-    def _call_loaded(ex, args, kwargs):
+    def _call_loaded(ex, dyn_pos, dyn_kw):
         """Call a DESERIALIZED executable: unlike the in-process Compiled,
         it rejects uncommitted arrays ("expected N shards, got 1") —
         device_put every leaf onto the executable's recorded input
         shardings first."""
         try:
-            in_sh = list(ex.input_shardings[0])
-            leaves, td = jax.tree_util.tree_flatten((args, kwargs))
+            in_sh = list(ex.input_shardings[0]) + list(
+                ex.input_shardings[1].values()
+            )
+            leaves, td = jax.tree_util.tree_flatten(
+                (list(dyn_pos), dict(dyn_kw))
+            )
             if len(leaves) == len(in_sh):
                 leaves = [jax.device_put(l, s)
                           for l, s in zip(leaves, in_sh)]
-                args, kwargs = jax.tree_util.tree_unflatten(td, leaves)
+                dyn_pos, dyn_kw = jax.tree_util.tree_unflatten(td, leaves)
         except Exception:  # sharding metadata unavailable — try raw call
             pass
-        return ex(*args, **kwargs)
+        return ex(*dyn_pos, **dyn_kw)
 
     @staticmethod
     def _mark_disabled(marker: str, reason: str) -> None:

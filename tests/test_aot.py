@@ -93,12 +93,36 @@ def test_aot_distinct_signatures_get_distinct_entries(tmp_path):
     assert len(files) == 2
 
 
+def test_aot_static_positional_args(tmp_path):
+    """Static args may arrive positionally; the compiled executable is
+    called with only the dynamic operands (round-5 wiring prerequisite —
+    the polish programs pass their static degree positionally)."""
+
+    def g(x, degree, scale=1.0):
+        y = x
+        for _ in range(degree):
+            y = y @ x
+        return y.sum() * scale
+
+    cache = str(tmp_path / "aot")
+    f = aot_jit(g, name="t4", static_argnames=("degree",), cache_dir=cache)
+    x = jnp.eye(4, dtype=jnp.float32) * 0.5
+    v1 = float(f(x, 2, scale=jnp.float32(2.0)))       # static positional
+    v2 = float(f(x, 2, scale=jnp.float32(2.0)))       # in-memory hit
+    np.testing.assert_allclose(v1, v2)
+    assert len([p for p in os.listdir(cache) if p.endswith(".aotx")]) == 1
+    v3 = float(f(x, 3, scale=jnp.float32(2.0)))       # new static -> new entry
+    assert len([p for p in os.listdir(cache) if p.endswith(".aotx")]) == 2
+    assert v3 != v1
+
+
 def test_aot_poisoned_entry_degrades_gracefully(tmp_path):
     cache = str(tmp_path / "aot")
     os.makedirs(cache)
     f = aot_jit(_f, name="t3", cache_dir=cache)
     x = jnp.ones((4, 4))
-    key = f._signature((x,), {})
+    static, dyn_pos, dyn_kw = f._split((x,), {})
+    key = f._key(static, dyn_pos, dyn_kw)
     path = os.path.join(cache, f"t3-{key}.aotx")
     with open(path, "wb") as fh:
         pickle.dump(("garbage",), fh)

@@ -50,16 +50,17 @@ from ..ops.qr import block_qr
 from ..ops.spmm.operator import AffineOperator, as_operator
 from .lanczos import LanczosResult
 from .rbl import rbl
+from ..utils.aot import aot_jit
 
 
-@jax.jit
+@aot_jit
 def _rr_gram(op, X):
     """A·X and the (m, m) Rayleigh–Ritz matrix XᵀAX in one dispatch."""
     AX = op.apply(X)
     return gram(X, AX), AX
 
 
-@jax.jit
+@aot_jit
 def _rr_rotate(X, AX, Y, theta):
     """Rotate the block onto the Ritz vectors and return TRUE absolute
     residual norms ‖A·x_i − θ_i·x_i‖ (the reference's convergence quantity,
@@ -72,7 +73,7 @@ def _rr_rotate(X, AX, Y, theta):
     return Xr, jnp.sqrt(jnp.sum(R * R, axis=0))
 
 
-@partial(jax.jit, static_argnames=("degree", "qr_method", "fdt"))
+@partial(aot_jit, static_argnames=("degree", "qr_method", "fdt"))
 def _filter_qr(op, X, frozen, a, b, degree, qr_method, fdt=None):
     """One Chebyshev filter pass + re-orthonormalization.
 
@@ -122,12 +123,12 @@ def _filter_qr(op, X, frozen, a, b, degree, qr_method, fdt=None):
     return Q
 
 
-@jax.jit
+@aot_jit
 def _apply_only(op, X):
     return op.apply(X)
 
 
-@jax.jit
+@aot_jit
 def _rotate_dev(X, Y):
     # short-contraction GEMM — measured f64-clean on the TPU backend
     # (3.2e-14), unlike LONG-axis contractions (see _host-mode note)
@@ -135,7 +136,7 @@ def _rotate_dev(X, Y):
         return jnp.dot(X, Y, preferred_element_type=X.dtype)
 
 
-@partial(jax.jit, static_argnames=("degree", "fdt"))
+@partial(aot_jit, static_argnames=("degree", "fdt"))
 def _filter_only(op, X, a, b, degree, fdt=None):
     """The filter pass WITHOUT the QR — host-RR mode (accelerator f64)
     does its orthogonalization on the host."""

@@ -85,9 +85,20 @@ class aot_jit:
 
         parts = [self._name, jax.__version__, jax.default_backend()]
         try:
-            parts.append(jax.devices()[0].device_kind)
+            devs = jax.devices()
+            parts.append(f"{devs[0].device_kind}x{len(devs)}")
         except Exception:  # pragma: no cover — backend without devices
             parts.append("unknown")
+        # Numerics-affecting ambient config (ADVICE r4): programs are
+        # traced under the caller's default_matmul_precision — on this
+        # TPU "high" vs "highest" is a ~2-digit f32-Gram accuracy swing
+        # (CLAUDE.md item 10) — and under the process x64 state.  Both
+        # must partition the cache or two processes sharing a dir get
+        # whichever executable was serialized first.
+        parts.append(
+            f"mm={getattr(jax.config, 'jax_default_matmul_precision', None)}"
+        )
+        parts.append(f"x64={jax.config.jax_enable_x64}")
         leaves, treedef = jax.tree_util.tree_flatten((dyn_pos, dyn_kw))
         for leaf in leaves:
             if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
@@ -126,8 +137,18 @@ class aot_jit:
                     lambda *dp, **dk: self._call_loaded(loaded, dp, dk)
                 )
                 return out
-            except Exception as e:  # cache poisoned/incompatible: rebuild
-                self._mark_disabled(disabled, f"deserialize: {e}")
+            except Exception:
+                # Stale/incompatible blob: delete and fall through to a
+                # fresh compile + re-serialize.  NOT a permanent
+                # ``.disabled`` marker (ADVICE r4): a topology- or
+                # version-mismatched reader must not poison the entry
+                # for processes the blob WAS compiled for — the marker
+                # is reserved for serialize-side failures, which mean
+                # this program can never be cached here.
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
         try:
             compiled = self._jit.lower(*args, **kwargs).compile()
         except Exception:

@@ -128,4 +128,23 @@ def test_aot_poisoned_entry_degrades_gracefully(tmp_path):
         pickle.dump(("garbage",), fh)
     v = float(f(x))  # must rebuild, not crash
     np.testing.assert_allclose(v, 128.0)
-    assert os.path.exists(path + ".disabled")
+    # ADVICE r4: a bad READ must not permanently disable the entry —
+    # the blob is replaced (or at least removed), the marker is
+    # reserved for serialize-side failures.
+    assert not os.path.exists(path + ".disabled")
+    with open(path, "rb") as fh:
+        blob = pickle.load(fh)
+    assert blob != ("garbage",)
+
+
+def test_aot_key_partitions_on_matmul_precision_and_topology(tmp_path):
+    """ADVICE r4 (both mediums): the cache key must include the ambient
+    default_matmul_precision / x64 state (a ~2-digit f32-Gram accuracy
+    swing on TPU) and the device topology, so mismatched processes hash
+    to distinct entries instead of sharing whichever serialized first."""
+    f = aot_jit(_f, name="t5", cache_dir=str(tmp_path))
+    x = jnp.ones((4, 4))
+    static, dyn_pos, dyn_kw = f._split((x,), {})
+    base = f._key(static, dyn_pos, dyn_kw)
+    with jax.default_matmul_precision("highest"):
+        assert f._key(static, dyn_pos, dyn_kw) != base

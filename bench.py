@@ -105,6 +105,17 @@ def main():
 
     import numpy as np
 
+    # AOT executable cache ON by default (VERDICT r4 item 1): a
+    # repo-local dir so the round driver's bench reuses executables
+    # across rounds.  The at-ref-tol row below reports whether ITS cold
+    # leg ran against a warm or cold disk cache (the honest label for
+    # at_ref_tol_cold_s).  RBL_AOT_CACHE=0 disables.
+    os.environ.setdefault(
+        "RBL_AOT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".aot_cache"),
+    )
+
     baseline_s = _REFERENCE_SHAPED_LOOP_S
     measured_baseline = None
     if os.environ.get("RBL_BENCH_BASELINE"):
@@ -171,10 +182,12 @@ def main():
         from rbl_tpu.config import RBLConfig
 
         op32 = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
-        # tol 1e-4: the deepest the f32 SWEEP converges on this clustered
-        # top within the HBM-clamped basis (3e-5 cap-hit at rel 6.3e-3 in
-        # the round-4 preflight; the at-ref-tol polish row below owns the
-        # tighter tiers)
+        # FLOOR-AT-CAP semantics (VERDICT r4 weak #4): the row asks
+        # tol 1e-4 and records whatever the f32 sweep delivers within
+        # the HBM-clamped 1280-column basis — `f32_floor_cap_hit` says
+        # whether the cap (not the tol) ended the sweep, and the
+        # accuracy field is the row's meaning either way.  The
+        # at-ref-tol polish row below owns the tighter tiers.
         cfg32 = RBLConfig(
             block_size=8, basis_dtype=jnp.float32,
             compute_dtype=jnp.float32, qr_method="cholqr2", tol=1e-4,
@@ -198,6 +211,9 @@ def main():
                 np.max(np.abs(w5 - lam50) / lam50)
             )
             out["f32_floor_converged"] = bool(res5.converged)
+            out["f32_floor_cap_hit"] = bool(
+                not res5.converged and res5.kryl_dim >= 1280
+            )
         except Exception as e:  # never lose the headline row to this leg
             out["f32_floor_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -225,6 +241,19 @@ def main():
                 float(r.eigenvectors[0, 0])
                 return time.perf_counter() - t0, r
 
+            # label the cold leg honestly: "warm" = the AOT disk cache
+            # already held executables (cross-process/round reuse), so
+            # at_ref_tol_cold_s measures deserialize+run, not compiles
+            cdir = os.environ.get("RBL_AOT_CACHE")
+            try:
+                nblobs = len([p for p in os.listdir(cdir)
+                              if p.endswith(".aotx")]) if cdir else 0
+            except OSError:
+                nblobs = 0
+            out["aot_cache_state"] = (
+                "off" if not cdir or cdir == "0"
+                else ("warm" if nblobs else "cold")
+            )
             cold_dt, _ = solve_with_retry(_polish, 0, retries=1,
                                           attempts=6, sleep_s=30,
                                           validate=_finite)

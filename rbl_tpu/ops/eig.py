@@ -28,6 +28,8 @@ import jax
 
 import jax.numpy as jnp
 
+from ..utils.aot import aot_jit
+
 
 def eig_banded_host(band: np.ndarray, backend: str = "scipy"):
     """All eigenpairs of the banded symmetric T.  Returns (w ascending, V)
@@ -178,7 +180,7 @@ def check_convergence(Bi, V, b: int, k: int, tol: float) -> bool:
     return bool(np.all(bounds <= tol))
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(aot_jit, name="power_norm", static_argnames=("iters",))
 def _power_norm(op, key, iters: int):
     v = jax.random.normal(key, (op.shape[0], 1), dtype=op.dtype)
 

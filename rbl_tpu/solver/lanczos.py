@@ -33,6 +33,7 @@ from ..ops.eig import (
 )
 from ..ops.qr import block_qr
 from ..ops.spmm.operator import LinearOperator, _pet
+from ..utils.aot import aot_jit
 from .basis import BasisStore
 
 
@@ -152,11 +153,20 @@ def recurrence_step_fn(op: LinearOperator, Qi_b, Qprev_b, Bi, cdt, qr_method):
     return Qn.astype(Qi_b.dtype), Bn, Ai
 
 
-_first_step = partial(jax.jit, static_argnames=("cdt", "qr_method"))(first_step_fn)
+_first_step = aot_jit(first_step_fn, name="first_step",
+                      static_argnames=("cdt", "qr_method"))
 
 
+# aot_jit (not plain jit) on the SWEEP CHUNK FAMILY: these are the
+# dominant cold-start programs of the coarse f32 stage — every
+# (basis-bucket, nsteps, reorth_pattern) combination is a 20-60 s
+# remote compile on the axon TPU, the cost VERDICT r4 measured as the
+# 302 s cold vs 138 s warm at-reference-tolerance gap.  With
+# RBL_AOT_CACHE set (bench.py default) a later process deserializes the
+# finished executables instead.
 @partial(
-    jax.jit,
+    aot_jit,
+    name="sweep_chunk",
     static_argnames=(
         "cdt", "qr_method", "nsteps", "reorth_pattern",
         "loc_passes", "reorth_passes",
@@ -253,7 +263,8 @@ def _sweep_chunk(
     return basis_buf, Qi, Qprev, Bi, TB
 
 
-@partial(jax.jit, static_argnames=("cdt",), donate_argnums=(1,))
+@partial(aot_jit, name="split_step_recur", static_argnames=("cdt",),
+         donate_argnums=(1,))
 def _split_step_recur(op: LinearOperator, basis_buf, Qi, Qprev, Bi, col0, *, cdt):
     """Archive Qprev and run ONE three-term-recurrence step, halted at the
     raw residual U (before any reorthogonalization or QR).
@@ -283,14 +294,15 @@ def _split_step_recur(op: LinearOperator, basis_buf, Qi, Qprev, Bi, col0, *, cdt
     return basis_buf, U, Ai
 
 
-@jax.jit
+@partial(aot_jit, name="project_out")
 def _project_out_jit(basis, W):
     from ..ops.reorth import project_out
 
     return project_out(basis, W)
 
 
-@partial(jax.jit, static_argnames=("qr_method", "bdt"))
+@partial(aot_jit, name="split_step_qr",
+         static_argnames=("qr_method", "bdt"))
 def _split_step_qr(U, lock_basis, *, qr_method, bdt):
     """Finish a split step: deflate the (now host-tier-clean) residual
     against the lock set and orthonormalize it."""
@@ -312,7 +324,7 @@ def _zero_cols_range(buf, lo, hi):
     return buf * keep.astype(buf.dtype)
 
 
-@partial(jax.jit, static_argnames=("qr_method",))
+@partial(aot_jit, name="block_qr", static_argnames=("qr_method",))
 def _block_qr_jit(W, qr_method):
     return block_qr(W, method=qr_method)
 
@@ -430,7 +442,7 @@ def _repair_block(store, Qprev, Qold, B_s, rank, lock_basis, key, qr_method):
     return Qnew, B_new
 
 
-@partial(jax.jit, static_argnames=("cdt",))
+@partial(aot_jit, name="rayleigh_refine", static_argnames=("cdt",))
 def _rayleigh_refine(op: LinearOperator, X, theta0, cdt):
     """Shifted Rayleigh-quotient refinement of converged Ritz values:
     θ = θ₀ + xᵀ(Ax − θ₀x)/xᵀx.  The correction contracts residual-scale
@@ -454,7 +466,7 @@ def _rayleigh_refine(op: LinearOperator, X, theta0, cdt):
     return theta, res
 
 
-@jax.jit
+@partial(aot_jit, name="recover")
 def _recover(basis_buf, Vk_padded, cdt_scale=None):
     """Ritz-vector recovery V = Q_basis · Ṽ as one MXU GEMM (reference
     accumulates per-block GEMMs: RBL.jl:61-71, RBL_gpu.jl:106-132)."""
@@ -490,8 +502,8 @@ def recover_eigvec(store: BasisStore, Vk: np.ndarray) -> jax.Array:
 
 
 @partial(
-    jax.jit, static_argnames=("b", "cdt", "bdt", "qr_method", "sharding",
-                              "raw")
+    aot_jit, name="start_block",
+    static_argnames=("b", "cdt", "bdt", "qr_method", "sharding", "raw"),
 )
 def _start_block(op: LinearOperator, key, b, cdt, bdt, qr_method, sharding,
                  v0=None, raw=False):

@@ -111,16 +111,22 @@ def _filter_qr(op, X, frozen, a, b, degree, qr_method, fdt=None):
         Y = fop.apply(X)
     nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0))
     Y = Y / jnp.where(nrm > 0, nrm, 1.0)
-    # frozen (already-converged) columns pass through UNFILTERED: X is
-    # orthonormal, so CholeskyQR's R₁₁ block is I on them — they emerge
-    # bit-stable while the unfrozen columns get projected against them
-    # (deflation) inside the same fixed-shape QR (run in the COMPUTE
-    # dtype, which also re-orthogonalizes low-precision filter output
-    # against the frozen set in full precision).  The traced mask keeps
+    # frozen (already-converged) columns pass through UNFILTERED, and are
+    # stable-partitioned to LEAD the QR (ADVICE r4): passthrough via
+    # R₁₁ ≈ I only holds for a PREFIX of orthonormal columns — an
+    # interleaved lock pattern would project a frozen column against a
+    # filtered unfrozen one ahead of it, perturbing the converged vector
+    # (possibly back above tol).  With the permutation, frozen columns
+    # emerge bit-stable and the unfrozen ones are deflated against them
+    # inside the same fixed-shape QR (run in the COMPUTE dtype, which
+    # also re-orthogonalizes low-precision filter output against the
+    # frozen set in full precision).  Traced mask + traced gather keep
     # one compiled program for every lock state.
     Y = jnp.where(frozen[None, :], X, Y)
-    Q, _ = block_qr(Y, method=qr_method)
-    return Q
+    order = jnp.argsort(jnp.logical_not(frozen), stable=True)
+    inv = jnp.argsort(order)
+    Q, _ = block_qr(Y[:, order], method=qr_method)
+    return Q[:, inv]
 
 
 @aot_jit
@@ -182,6 +188,7 @@ def chebyshev_refine(
     degree_cap: int = 500,
     filter_dtype: str = "auto",
     timer=None,
+    checkpoint_path: Optional[str] = None,
 ) -> LanczosResult:
     """Polish approximate eigenvectors to cfg.tol (absolute residual) by
     Chebyshev-filtered subspace iteration in cfg.compute_dtype.
@@ -229,20 +236,39 @@ def chebyshev_refine(
 
     retries = resolve_fault_retries(cfg)
     if retries:
-        return solve_with_retry(
-            _chebyshev_refine_impl, A, warm_V, k, cfg, which, bounds,
-            degree, max_passes, extra_random, target_gain, degree_cap,
-            filter_dtype, timer, retries=retries,
-        )
+        # on a re-dispatch, resume from the pass-boundary checkpoint if
+        # one was written (never the first attempt — a stale file from
+        # some earlier solve must not hijack it)
+        attempt = [0]
+
+        def _dispatch():
+            import os as _os
+
+            wv, er = warm_V, extra_random
+            if (attempt[0] and checkpoint_path is not None
+                    and _os.path.exists(checkpoint_path)):
+                from ..utils.checkpoint import load_polish_state
+
+                wv, er = load_polish_state(checkpoint_path)["X"], 0
+            attempt[0] += 1
+            return _chebyshev_refine_impl(
+                A, wv, k, cfg, which, bounds, degree, max_passes, er,
+                target_gain, degree_cap, filter_dtype, timer,
+                checkpoint_path,
+            )
+
+        return solve_with_retry(_dispatch, retries=retries)
     return _chebyshev_refine_impl(
         A, warm_V, k, cfg, which, bounds, degree, max_passes,
         extra_random, target_gain, degree_cap, filter_dtype, timer,
+        checkpoint_path,
     )
 
 
 def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                            max_passes, extra_random, target_gain,
-                           degree_cap, filter_dtype, timer):
+                           degree_cap, filter_dtype, timer,
+                           checkpoint_path=None):
     cdt = jnp.dtype(cfg.compute_dtype)
     base = as_operator(A, dtype=cdt)
     n = base.n
@@ -500,9 +526,14 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                     dtype=np.float64,
                 )
                 # frozen columns pass through unfiltered (host copy is
-                # the rotated block); host LAPACK QR deflates the rest
+                # the rotated block) and lead the QR via the same
+                # stable partition as _filter_qr — true passthrough +
+                # deflation for interleaved lock patterns (ADVICE r4)
                 Yf[:, frozen] = Xh[:, frozen]
-                Xh, _ = np.linalg.qr(Yf)
+                order = np.argsort(~frozen, kind="stable")
+                inv = np.argsort(order)
+                Qp, _ = np.linalg.qr(Yf[:, order])
+                Xh = Qp[:, inv]
                 X = jnp.asarray(Xh, cdt)
                 if sharding is not None:
                     X = jax.device_put(X, sharding)
@@ -511,6 +542,13 @@ def _chebyshev_refine_impl(A, warm_V, k, cfg, which, bounds, degree,
                     op, X, jnp.asarray(frozen),
                     jnp.asarray(a_, cdt), jnp.asarray(b_, cdt),
                     deg, qr_method, fdt=fdt,
+                )
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import save_polish_state
+
+                save_polish_state(
+                    checkpoint_path, Xh if host_rr else np.asarray(X),
+                    th, res, p + 1,
                 )
 
         lam = th[:k].astype(np.float64)
@@ -560,6 +598,11 @@ def rbl_polished(
     filter passes.  If the coarse stage finds nothing usable
     (pathological), the solve falls back to a cold f64 ``rbl_restarted``
     — identical to the plain restarted solver.
+
+    ``checkpoint_path`` is honored on BOTH paths: the warm polish writes
+    an atomic filter-pass-boundary checkpoint (resumed automatically on
+    a probe-on-fault re-dispatch), the cold fallback checkpoints at
+    restart boundaries as before.
     """
     cfg = cfg or RBLConfig()
     if buffer is None:
@@ -598,4 +641,5 @@ def rbl_polished(
         A, warm_V, k, cfg=cfg.replace(block_size=b), which=which,
         bounds=bounds, degree=degree, max_passes=max_passes,
         target_gain=target_gain, timer=timer,
+        checkpoint_path=checkpoint_path,
     )

@@ -54,6 +54,7 @@ class RestartState:
     kryl_dim: int
     Qi: Any                    # next start block (n, b)
     restarts: int = 0
+    low_yield_streak: int = 0  # consecutive restarts locking < b/2 pairs
 
 
 def _restarted_sweep(op, cfg: RBLConfig, Qi, store: BasisStore, lock_buf,
@@ -357,9 +358,21 @@ def _rbl_restarted_impl(op, k, cfg, b, max_restarts, timer,
             next_start = recover_eigvec(store, V[:, j : j + width])
         state.count += ncomp
         # compile-ladder cut (VERDICT r3 item 7): growth is the STALL
-        # remedy — a productive restart reuses its compiled sweep shapes
-        if ncomp == 0 or cfg.restart_growth_policy == "always":
+        # remedy — a productive restart reuses its compiled sweep shapes.
+        # "stall" also grows after 2 consecutive LOW-yield (< b/2 locked)
+        # restarts (ADVICE r4): a spectrum that locks one easy pair per
+        # round would otherwise never grow and can plateau where the
+        # reference's unconditional per-restart growth (restarted.jl:142)
+        # escapes.  The deviation is recorded in PARITY.md.
+        low = ncomp < max(1, b // 2)
+        state.low_yield_streak = state.low_yield_streak + 1 if low else 0
+        if (
+            ncomp == 0
+            or cfg.restart_growth_policy == "always"
+            or state.low_yield_streak >= 2
+        ):
             state.kryl_dim += cfg.restart_growth
+            state.low_yield_streak = 0
         state.restarts += 1
         if warm_seed:
             state.Qi = _warm_block(warm_V, state.count, b, n, cfg, sharding)

@@ -12,10 +12,12 @@ axon); this module wraps it in a disk cache keyed on the program name,
 jax version, backend/device kind, static arguments, and the abstract
 operand signature.
 
-Opt-in: set ``RBL_AOT_CACHE=<dir>`` (or pass ``cache_dir``).  Without it
-``aot_jit`` behaves exactly like ``jax.jit``.  Serialization failures
-degrade silently to plain jit (a marker file records the reason) — the
-cache must never break a solve.
+Default ON for accelerator backends (``~/.cache/rbl_tpu/aot``), OFF for
+CPU; ``RBL_AOT_CACHE=<dir>`` overrides the location, ``RBL_AOT_CACHE=0``
+disables (see ``cache_dir_from_env``).  Disk entries are keyed on the
+lowered StableHLO hash, so code changes can never be served a stale
+executable.  Serialization failures degrade silently to plain jit (a
+marker file records the reason) — the cache must never break a solve.
 """
 
 from __future__ import annotations
@@ -31,7 +33,25 @@ import jax
 
 
 def cache_dir_from_env() -> Optional[str]:
-    return os.environ.get("RBL_AOT_CACHE") or None
+    """Resolve the cache directory.
+
+    ``RBL_AOT_CACHE=<dir>`` selects it explicitly; ``RBL_AOT_CACHE=0``
+    (or empty) disables.  UNSET defaults ON for accelerator backends
+    (VERDICT r4 item 1: every remote compile is 20-60 s and the recorded
+    cold at-tolerance solve paid 164 s of them with the cache sitting
+    unused) and OFF for CPU, where compiles are fast and reloading
+    donated-buffer executables has crashed (CLAUDE.md test notes)."""
+    v = os.environ.get("RBL_AOT_CACHE")
+    if v is not None:
+        return None if v in ("", "0") else v
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+    except Exception:  # pragma: no cover — backend init failure
+        return None
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "rbl_tpu", "aot"
+    )
 
 
 class aot_jit:
@@ -51,12 +71,15 @@ class aot_jit:
 
     def __init__(self, fn: Callable, name: Optional[str] = None,
                  static_argnames: Sequence[str] = (),
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 donate_argnums: Sequence[int] = ()):
         self._fn = fn
         self._name = name or getattr(fn, "__name__", "fn")
         self._static = tuple(static_argnames)
+        self._donate = tuple(donate_argnums)
         self._sig = inspect.signature(fn)
-        self._jit = jax.jit(fn, static_argnames=self._static or None)
+        self._jit = jax.jit(fn, static_argnames=self._static or None,
+                            donate_argnums=self._donate or None)
         self._cache_dir = cache_dir
         self._loaded: dict = {}
 
@@ -114,6 +137,14 @@ class aot_jit:
         cache_dir = self._cache_dir or cache_dir_from_env()
         if not cache_dir:
             return self._jit(*args, **kwargs)
+        if self._donate and jax.default_backend() == "cpu":
+            # Reloading serialized DONATED-buffer executables on XLA:CPU
+            # can SIGABRT the process (reproduced with the persistent
+            # compile cache, CLAUDE.md test notes) — graceful degradation
+            # cannot catch a glibc abort, so donated programs simply skip
+            # the disk cache on the CPU backend.  The TPU backend is the
+            # one the cold-start story targets (batch-B probe: works).
+            return self._jit(*args, **kwargs)
         try:
             static, dyn_pos, dyn_kw = self._split(args, kwargs)
         except TypeError:
@@ -122,8 +153,23 @@ class aot_jit:
         ex = self._loaded.get(key)
         if ex is not None:
             return ex(*dyn_pos, **dyn_kw)
+        # Disk entries are keyed on the LOWERED StableHLO text, not just
+        # the operand signature: the signature alone would serve a stale
+        # executable after any code change to the function or its helpers
+        # (silent wrong numerics across rounds).  Lowering is local
+        # tracing + MLIR — cheap; only .compile() pays the 20-60 s remote
+        # round-trip this cache exists to erase.  It happens once per
+        # in-process signature (the self._loaded memo above).
+        try:
+            lowered = self._jit.lower(*args, **kwargs)
+            hlo = hashlib.sha256(
+                lowered.as_text().encode()
+            ).hexdigest()[:16]
+        except Exception:
+            # lowering quirk (e.g. unhashable static) — fall back entirely
+            return self._jit(*args, **kwargs)
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(cache_dir, f"{self._name}-{key}.aotx")
+        path = os.path.join(cache_dir, f"{self._name}-{key}-{hlo}.aotx")
         disabled = path + ".disabled"
         if os.path.exists(path) and not os.path.exists(disabled):
             try:
@@ -150,9 +196,8 @@ class aot_jit:
                 except OSError:
                     pass
         try:
-            compiled = self._jit.lower(*args, **kwargs).compile()
+            compiled = lowered.compile()
         except Exception:
-            # lowering quirk (e.g. unhashable static) — fall back entirely
             return self._jit(*args, **kwargs)
         if not os.path.exists(disabled):
             try:

@@ -1,6 +1,6 @@
 """Checkpoint / resume.
 
-The reference has no checkpointing (SURVEY §5).  Two save surfaces here:
+The reference has no checkpointing (SURVEY §5).  Three save surfaces here:
 
 - Restart boundary (restarted solver): state compresses to (lock set,
   locked values, count, sweep length, next start block).
@@ -10,6 +10,10 @@ The reference has no checkpointing (SURVEY §5).  Two save surfaces here:
   (Q_{i+1}, Q_i, B_{i+1}), the T band, the coupling history, and the
   reorth-policy flags — written atomically (tmp + rename) every
   ``sweep_checkpoint_every`` clean chunks and deleted on completion.
+- Filter-pass boundary (Chebyshev polish, ``chebyshev_refine``): the
+  whole iterate is the (n, m) block + Ritz values/residuals — tiny
+  state, written atomically each pass (ADVICE r4: the warm polish path
+  must honor ``checkpoint_path``, not just the cold fallback).
 
 Stored as a single .npz; arrays are materialized to host (sub-f32 dtypes
 upcast to f32 — numpy has no portable bf16), and re-sharded on load if a
@@ -34,6 +38,7 @@ def save_restart_state(path: str, state) -> None:
         kryl_dim=np.int64(state.kryl_dim),
         Qi=np.asarray(state.Qi),
         restarts=np.int64(state.restarts),
+        low_yield_streak=np.int64(getattr(state, "low_yield_streak", 0)),
     )
 
 
@@ -55,7 +60,41 @@ def load_restart_state(path: str, sharding=None):
         kryl_dim=int(z["kryl_dim"]),
         Qi=Qi,
         restarts=int(z["restarts"]),
+        low_yield_streak=(
+            int(z["low_yield_streak"]) if "low_yield_streak" in z else 0
+        ),
     )
+
+
+def save_polish_state(path: str, X, theta, res, npass: int) -> None:
+    """Atomic pass-boundary checkpoint for chebyshev_refine: the filtered
+    block X (n, m) plus the last Rayleigh–Ritz values/residuals."""
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                X=np.asarray(X, dtype=np.float64),
+                theta=np.asarray(theta, dtype=np.float64),
+                res=np.asarray(res, dtype=np.float64),
+                npass=np.int64(npass),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_polish_state(path: str) -> dict:
+    z = np.load(path)
+    return dict(X=z["X"], theta=z["theta"], res=z["res"],
+                npass=int(z["npass"]))
 
 
 def _np32(x):

@@ -227,3 +227,59 @@ def test_host_rr_mode_matches_device_path(monkeypatch):
         np.sort(res_h.eigenvalues), np.sort(res_d.eigenvalues), rtol=1e-12
     )
     assert np.max(res_h.residual_bounds) < 1e-8
+
+
+def test_chebyshev_refine_pass_checkpoint_and_resume(tmp_path):
+    """checkpoint_path on the WARM polish path (ADVICE r4): each filter
+    pass writes an atomic (X, theta, res, npass) checkpoint; resuming
+    from the saved block converges in fewer passes."""
+    from rbl_tpu.solver.polish import chebyshev_refine
+    from rbl_tpu.utils.checkpoint import load_polish_state
+
+    n, k = 600, 6
+    d = np.linspace(0.01, 9.0, n)
+    d[-20:] = 9.5 * (1.0 - 1e-4 * np.arange(20))[::-1]
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    rng = np.random.default_rng(0)
+    exact_V = np.zeros((n, k))
+    for j, idx in enumerate(np.argsort(d)[::-1][:k]):
+        exact_V[idx, j] = 1.0
+    warm = exact_V + 1e-3 * rng.standard_normal((n, k))
+    ck = str(tmp_path / "polish.npz")
+    cfg = RBLConfig(block_size=4, tol=1e-9, seed=0)
+    res = chebyshev_refine(op, warm, k, cfg=cfg, checkpoint_path=ck)
+    assert res.converged and res.iterations >= 1
+    st = load_polish_state(ck)
+    assert st["X"].shape[0] == n and st["npass"] >= 1
+    assert np.all(np.isfinite(st["X"]))
+    # resume: the checkpointed block is a valid warm start
+    res2 = chebyshev_refine(op, st["X"], k, cfg=cfg, extra_random=0)
+    assert res2.converged and res2.iterations <= res.iterations
+    np.testing.assert_allclose(
+        np.sort(res2.eigenvalues), np.sort(res.eigenvalues), rtol=1e-12
+    )
+
+
+def test_filter_qr_interleaved_frozen_passthrough():
+    """ADVICE r4: frozen columns must emerge (near) bit-stable from the
+    fixed-shape QR even when the lock pattern is INTERLEAVED — the
+    stable partition puts them ahead of every filtered column."""
+    from rbl_tpu.solver.polish import _filter_qr
+
+    n, m = 300, 6
+    d = np.linspace(0.1, 5.0, n)
+    op = rt.DiagonalOperator(jnp.asarray(d))
+    rng = np.random.default_rng(1)
+    X, _ = np.linalg.qr(rng.standard_normal((n, m)))
+    frozen = np.array([True, False, True, False, False, True])
+    Q = np.asarray(_filter_qr(
+        op, jnp.asarray(X), jnp.asarray(frozen),
+        jnp.asarray(0.0, jnp.float64), jnp.asarray(2.5, jnp.float64),
+        16, "cholqr2",  # the f64 polish QR (positive-diagonal R:
+    ))                  # passthrough preserves sign, unlike Householder)
+    # frozen columns: exact passthrough up to rounding (same sign)
+    for j in np.nonzero(frozen)[0]:
+        np.testing.assert_allclose(Q[:, j], X[:, j], atol=5e-14)
+    # unfrozen columns: still orthonormal against the whole block
+    G = Q.T @ Q
+    np.testing.assert_allclose(G, np.eye(m), atol=1e-12)

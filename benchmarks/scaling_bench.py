@@ -148,6 +148,49 @@ def main():
             "comm_rows": int(comm),
         }))
 
+    # ---- comm-growth table (VERDICT r4 item 8): 2→4→8 devices on a
+    # FIXED global banded-BSR fixture — sharded step time (XLA path) +
+    # the exact ghost-exchange volume per apply for the packed-BSR plan
+    # (ghost blocks from the static ppermute caps) and the COO plan
+    # (ghost rows).  Bounds how comm grows with the mesh until real
+    # multi-host hardware exists: a banded operator's boundary is
+    # per-device-constant, so total ghost volume should grow ~linearly
+    # with ndev while per-device volume stays flat.
+    from rbl_tpu.parallel.dist_spmm import ShardedBlockSparseOperator
+
+    n_fix = args.rows_per_dev * min(8, ndev_avail)
+    diags = [rng.standard_normal(n_fix) for _ in range(5)]
+    bw_fix = 256  # two 128-col block neighbors
+    A_fix = sp.diags(diags, [0, 1, -1, bw_fix, -bw_fix],
+                     (n_fix, n_fix)).tocsr().astype(np.float32)
+    A_fix = ((A_fix + A_fix.T) * 0.5).tocsr()
+    print("\ncomm-growth table (fixed n=%d, band=%d):" % (n_fix, bw_fix))
+    for ndev in (2, 4, 8):
+        if ndev > ndev_avail:
+            break
+        mesh = make_row_mesh(ndev)
+        sh = row_sharding(mesh)
+        Xs = jax.device_put(
+            jnp.asarray(rng.standard_normal((n_fix, b)), jnp.float32), sh)
+        coo = ShardedCooSpMM.from_scipy(A_fix, mesh, dtype=jnp.float32,
+                                        exchange="ghost")
+        dt = time_apply(coo, Xs, args.reps)
+        row = {
+            "metric": f"comm_growth_{ndev}dev",
+            "coo_ms_per_apply": round(dt * 1e3, 3),
+            "coo_ghost_rows": int(coo.comm_rows_per_apply()),
+        }
+        try:
+            bsr = ShardedBlockSparseOperator.from_scipy(
+                A_fix, mesh, dtype=jnp.float32)
+            gblocks = int(sum(bsr.caps)) * ndev  # per-shift caps × devices
+            row["bsr_ghost_blocks"] = gblocks
+            row["bsr_ghost_kb"] = round(
+                gblocks * bsr.bk * b * 4 / 1024, 1)
+        except ValueError as e:
+            row["bsr_error"] = str(e)[:80]
+        print(json.dumps(row))
+
 
 if __name__ == "__main__":
     main()

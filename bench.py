@@ -246,13 +246,18 @@ def main():
             # at_ref_tol_cold_s measures deserialize+run, not compiles
             cdir = os.environ.get("RBL_AOT_CACHE")
             try:
-                nblobs = len([p for p in os.listdir(cdir)
-                              if p.endswith(".aotx")]) if cdir else 0
+                blobs = ([p for p in os.listdir(cdir)
+                          if p.endswith(".aotx")] if cdir else [])
             except OSError:
-                nblobs = 0
+                blobs = []
+            # "warm" only if BOTH program families this leg needs are on
+            # disk (the earlier bench legs populate sweep blobs in the
+            # same run — that alone must not claim the polish is warm)
+            warm = (any(p.startswith("sweep_chunk") for p in blobs)
+                    and any(p.startswith("_filter") for p in blobs))
             out["aot_cache_state"] = (
                 "off" if not cdir or cdir == "0"
-                else ("warm" if nblobs else "cold")
+                else ("warm" if warm else "cold")
             )
             cold_dt, _ = solve_with_retry(_polish, 0, retries=1,
                                           attempts=6, sleep_s=30,

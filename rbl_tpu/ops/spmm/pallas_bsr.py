@@ -290,11 +290,13 @@ def _make_packed_resident_kernel(unroll: int, bk: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bm", "bk", "H", "unroll", "interpret", "out_dtype"),
+    static_argnames=("bm", "bk", "H", "unroll", "interpret", "out_dtype",
+                     "gather"),
 )
 def bsr_spmm_panel(tile_cols, hcount, rptr, vals_t, X, *, bm: int,
                    bk: int, H: int, unroll: int = 1,
-                   interpret: bool = False, out_dtype=None):
+                   interpret: bool = False, out_dtype=None,
+                   gather: str = "swap"):
     """Y = A @ X, packed-PANEL layout: ONE large-contraction MXU dot per
     chunk.  MEASURED SLOWER than the packed kernel (round-4 batch F:
     2-3x — the gather relayout and the skinny (b, U*bk) operand's 8/128
@@ -361,10 +363,21 @@ def bsr_spmm_panel(tile_cols, hcount, rptr, vals_t, X, *, bm: int,
         @pl.when(j < hcnt_ref[i])
         def _():
             base = (rptr_ref[i] + j) * U
-            xs = jnp.stack(
-                [xt_ref[cols_ref[base + u]] for u in range(U)], axis=0
-            )  # (U, b, bk)
-            xflat = jnp.swapaxes(xs, 0, 1).reshape(b, U * bk)
+            if gather == "concat":
+                # round-5 variant (VERDICT r4 item 3): build the stacked
+                # multi-X operand by LANE concatenation of the (b, bk)
+                # tiles — U adjacent VMEM copies, lanes untouched —
+                # instead of the sublane stack+swapaxes relayout the
+                # round-4 panel A/B measured as the loss
+                xflat = jnp.concatenate(
+                    [xt_ref[cols_ref[base + u]] for u in range(U)],
+                    axis=1,
+                )  # (b, U*bk)
+            else:
+                xs = jnp.stack(
+                    [xt_ref[cols_ref[base + u]] for u in range(U)], axis=0
+                )  # (U, b, bk)
+                xflat = jnp.swapaxes(xs, 0, 1).reshape(b, U * bk)
             acc_ref[:] += jax.lax.dot_general(
                 xflat, vals_ref[0],
                 (((1,), (0,)), ((), ())),
@@ -662,6 +675,7 @@ class BlockSparseOperator(LinearOperator):
     unroll: int = static_field(default=1)
     interpret: bool = static_field(default=False)
     panel: bool = static_field(default=False)
+    panel_gather: str = static_field(default="swap")
 
     @property
     def shape(self):
@@ -690,10 +704,17 @@ class BlockSparseOperator(LinearOperator):
                     f"({xbytes} bytes > {_RESIDENT_X_BYTES}) — rebuild "
                     "with panel=False for this block width"
                 )
-            fn = bsr_spmm_panel
-        else:
-            fn = (bsr_spmm_packed_resident
-                  if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
+            Y = bsr_spmm_panel(
+                self.tile_cols, self.hcount, self.rptr, self.vals,
+                Xp.astype(self.dtype),
+                bm=self.bm, bk=self.bk, H=self.H, unroll=self.unroll,
+                interpret=self.interpret, out_dtype=X.dtype,
+                gather=self.panel_gather,
+            )
+            nrows = self.rptr.shape[0] * self.bm
+            return Y[: self._n] if nrows != self._n else Y
+        fn = (bsr_spmm_packed_resident
+              if xbytes <= _RESIDENT_X_BYTES else bsr_spmm_packed)
         Y = fn(
             self.tile_cols, self.hcount, self.rptr, self.vals,
             Xp.astype(self.dtype),
@@ -709,7 +730,8 @@ class BlockSparseOperator(LinearOperator):
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, bm: int | None = None,
                    bk: int = 128, interpret: bool | None = None,
-                   unroll: int | None = None, panel: bool = False):
+                   unroll: int | None = None, panel: bool = False,
+                   panel_gather: str = "swap"):
         """Build from a scipy sparse symmetric matrix.
 
         ``bm=None`` auto-tunes the tile height from the matrix's tile-fill
@@ -763,6 +785,7 @@ class BlockSparseOperator(LinearOperator):
             unroll=unroll,
             interpret=interpret,
             panel=panel,
+            panel_gather=panel_gather,
         )
 
     def density_report(self) -> str:

@@ -38,8 +38,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.aot import donate
 
-@partial(jax.jit, donate_argnums=(0,))
+
+@partial(jax.jit, donate_argnums=donate(0) or None)
 def _write_block(buf, block, col):
     zero = jnp.zeros((), dtype=col.dtype)
     return jax.lax.dynamic_update_slice(buf, block.astype(buf.dtype), (zero, col))
@@ -51,7 +53,7 @@ def _grow(buf, new_cols):
     return jnp.pad(buf, ((0, 0), (0, new_cols - cols)))
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("shift",))
+@partial(jax.jit, donate_argnums=donate(0) or None, static_argnames=("shift",))
 def _compact(buf, shift):
     """Drop the oldest ``shift`` columns: move cols [shift, C) to the
     front, zero the tail."""

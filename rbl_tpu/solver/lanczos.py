@@ -33,7 +33,7 @@ from ..ops.eig import (
 )
 from ..ops.qr import block_qr
 from ..ops.spmm.operator import LinearOperator, _pet
-from ..utils.aot import aot_jit
+from ..utils.aot import aot_jit, donate
 from .basis import BasisStore
 
 
@@ -203,7 +203,7 @@ _first_step = aot_jit(first_step_fn, name="first_step",
         "cdt", "qr_method", "nsteps", "reorth_pattern",
         "loc_passes", "reorth_passes",
     ),
-    donate_argnums=(1,),
+    donate_argnums=donate(1),
 )
 def _sweep_chunk(
     op: LinearOperator,
@@ -296,7 +296,7 @@ def _sweep_chunk(
 
 
 @partial(aot_jit, name="split_step_recur", static_argnames=("cdt",),
-         donate_argnums=(1,))
+         donate_argnums=donate(1))
 def _split_step_recur(op: LinearOperator, basis_buf, Qi, Qprev, Bi, col0, *, cdt):
     """Archive Qprev and run ONE three-term-recurrence step, halted at the
     raw residual U (before any reorthogonalization or QR).
@@ -346,7 +346,7 @@ def _split_step_qr(U, lock_basis, *, qr_method, bdt):
     return Qn.astype(bdt), Bn
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=donate(0) or None)
 def _zero_cols_range(buf, lo, hi):
     """Zero basis columns [lo, hi) — breakdown / speculation rewind.
     Mask-multiply instead of dynamic_update_slice so the (rare) rewind

@@ -32,6 +32,22 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 
 
+def donate(*argnums: int) -> tuple:
+    """Donation argnums for jit/aot_jit, or ``()`` when
+    ``RBL_NO_DONATION=1``.
+
+    The CI warm-cache allowlist (VERDICT r4 weak #7): XLA:CPU can abort
+    (glibc SIGABRT) reloading persistent-compile-cache executables that
+    use buffer donation, so the cached test run keeps donated programs
+    OUT of the cache by simply not donating — test problems are small,
+    and donation is a memory optimization, never a numerics one.
+    tests/conftest.py sets the variable whenever RBL_TEST_COMPILE_CACHE
+    is on.  Read at decoration (import) time."""
+    if os.environ.get("RBL_NO_DONATION") == "1":
+        return ()
+    return argnums
+
+
 def cache_dir_from_env() -> Optional[str]:
     """Resolve the cache directory.
 
@@ -144,6 +160,14 @@ class aot_jit:
             # cannot catch a glibc abort, so donated programs simply skip
             # the disk cache on the CPU backend.  The TPU backend is the
             # one the cold-start story targets (batch-B probe: works).
+            return self._jit(*args, **kwargs)
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves((args, kwargs))
+        ):
+            # called inside an enclosing trace (e.g. a user jit around a
+            # solver step): no concrete operands to AOT-compile against —
+            # inline as plain jit
             return self._jit(*args, **kwargs)
         try:
             static, dyn_pos, dyn_kw = self._split(args, kwargs)

@@ -25,13 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 
 # OPT-IN persistent XLA compile cache (RBL_TEST_COMPILE_CACHE=1): cuts a
-# warm full-suite run to ~5 min, BUT reloading serialized CPU executables
-# that use buffer donation can abort the process (reproduced: a warm
-# rerun of test_sharded_generalized_pencil dies with SIGABRT inside
-# executable load — a JAX/XLA:CPU deserialization bug, not solver state).
-# Off by default for correctness; delete .jax_cache/ if a cached run
-# crashes.
+# warm full-suite run ~3×.  Reloading serialized CPU executables that use
+# buffer donation can abort the process (reproduced: a warm rerun of
+# test_sharded_generalized_pencil dies with SIGABRT inside executable
+# load — a JAX/XLA:CPU deserialization bug, not solver state), so the
+# cached run also sets RBL_NO_DONATION=1 — the donation allowlist
+# (utils/aot.py:donate): donated programs are simply compiled without
+# donation under the cache, keeping them out of the crash path while
+# everything else reloads.  Donation is a memory optimization only;
+# test problems are small.  Delete .jax_cache/ if a cached run crashes.
 if os.environ.get("RBL_TEST_COMPILE_CACHE"):
+    os.environ["RBL_NO_DONATION"] = "1"
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),

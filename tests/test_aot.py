@@ -159,3 +159,13 @@ def test_aot_key_partitions_on_matmul_precision_and_topology(tmp_path):
     base = f._key(static, dyn_pos, dyn_kw)
     with jax.default_matmul_precision("highest"):
         assert f._key(static, dyn_pos, dyn_kw) != base
+
+
+def test_aot_inside_enclosing_trace_inlines(tmp_path):
+    """aot_jit called under an enclosing jit receives tracers — it must
+    inline as plain jit (no .lower() on tracers, no disk entry)."""
+    f = aot_jit(_f, name="t6", cache_dir=str(tmp_path))
+    g = jax.jit(lambda x: f(x) * 0.5)
+    x = jnp.ones((4, 4))
+    np.testing.assert_allclose(float(g(x)), 64.0)
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]

@@ -169,3 +169,16 @@ def test_aot_inside_enclosing_trace_inlines(tmp_path):
     x = jnp.ones((4, 4))
     np.testing.assert_allclose(float(g(x)), 64.0)
     assert not [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]
+
+
+def test_donation_allowlist_env(monkeypatch):
+    """RBL_NO_DONATION=1 (the CI warm-cache allowlist) makes donate()
+    return () so donated programs compile donation-free and stay out of
+    the XLA:CPU persistent-cache SIGABRT path."""
+    from rbl_tpu.utils.aot import donate
+
+    monkeypatch.delenv("RBL_NO_DONATION", raising=False)
+    assert donate(1) == (1,)
+    monkeypatch.setenv("RBL_NO_DONATION", "1")
+    assert donate(1) == ()
+    assert donate(0, 2) == ()

@@ -569,7 +569,7 @@ def rbl_polished(
     k: int,
     cfg: Optional[RBLConfig] = None,
     b: int = 8,
-    coarse_tol: float = 1e-4,
+    coarse_tol: float = 1e-2,
     coarse_cfg: Optional[RBLConfig] = None,
     buffer: Optional[int] = None,
     which: str = "LM",
@@ -590,7 +590,11 @@ def rbl_polished(
     residual bar; dtypes default f64).  The coarse stage runs ``rbl`` with
     f32 basis/compute at ``coarse_tol`` for k + ``buffer`` pairs (buffer
     default max(2b, min(k, 32)) — the extra pairs set the filter cutoff
-    below the wanted cluster; see chebyshev_refine).  ``bounds`` optionally
+    below the wanted cluster; see chebyshev_refine).  The 1e-2 coarse
+    default is A/B-measured (round 5, 512² at 1e-7: 132.7 s vs 141.5 s
+    at 1e-4, same passes/accuracy — the refine self-starts from ~1e-2,
+    so a tighter coarse bar buys nothing); do NOT shrink ``buffer``
+    instead (halving it cost an extra filter pass, 164 s).  ``bounds`` optionally
     certifies (λ_min, λ_max) of A — λ_min = 0 for PSD operators roughly
     halves the filter degree.
 

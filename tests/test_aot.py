@@ -182,3 +182,18 @@ def test_donation_allowlist_env(monkeypatch):
     monkeypatch.setenv("RBL_NO_DONATION", "1")
     assert donate(1) == ()
     assert donate(0, 2) == ()
+
+
+def test_cache_dir_env_semantics(monkeypatch):
+    """RBL_AOT_CACHE: explicit dir wins, '0'/'' disable, unset defaults
+    OFF on the CPU backend (accelerator default-on is probed on TPU)."""
+    from rbl_tpu.utils import aot
+
+    monkeypatch.setenv("RBL_AOT_CACHE", "/tmp/x")
+    assert aot.cache_dir_from_env() == "/tmp/x"
+    monkeypatch.setenv("RBL_AOT_CACHE", "0")
+    assert aot.cache_dir_from_env() is None
+    monkeypatch.setenv("RBL_AOT_CACHE", "")
+    assert aot.cache_dir_from_env() is None
+    monkeypatch.delenv("RBL_AOT_CACHE")
+    assert aot.cache_dir_from_env() is None  # cpu backend in tests

@@ -197,12 +197,22 @@ class aot_jit:
         disabled = path + ".disabled"
         if os.path.exists(path) and not os.path.exists(disabled):
             try:
+                import time as _time
+
                 from jax.experimental import serialize_executable as se
 
+                _t0 = _time.perf_counter()
                 with open(path, "rb") as f:
                     blob = pickle.load(f)
                 loaded = se.deserialize_and_load(*blob)
+                _t1 = _time.perf_counter()
                 out = self._call_loaded(loaded, dyn_pos, dyn_kw)
+                if os.environ.get("RBL_DEBUG"):
+                    print(
+                        f"[aot] {self._name} load={_t1 - _t0:.2f}s "
+                        f"first-exec={_time.perf_counter() - _t1:.2f}s",
+                        flush=True,
+                    )
                 self._loaded[key] = (
                     lambda *dp, **dk: self._call_loaded(loaded, dp, dk)
                 )

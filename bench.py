@@ -2,7 +2,9 @@
 
 Flagship single-chip configuration (BASELINE.md targets; the reference
 publishes no timings, so the metric is absolute time-to-k-eigenpairs):
-2D Laplacian 512×512 (n = 262144), k = 50 largest eigenpairs, block b = 8,
+2D Laplacian 512×512 (n = 262144), k = 50 largest eigenpairs, block
+b = 16 (RBL_BENCH_B overrides; round-5 sweep: b=16 is 31% faster than
+b=8 at the same Krylov budget and accuracy class — free MXU lanes),
 bf16 basis storage + fp32-accumulated recurrence with the f64 banded
 Rayleigh–Ritz solve on host — the reference's FLOAT-buffer/DOUBLE-compute
 mixed-precision scheme (README.md:69 / common.jl:5-6) mapped to TPU
@@ -33,7 +35,16 @@ def run(timed: bool, seed: int = 0):
     from rbl_tpu.config import RBLConfig
 
     nx = ny = 512
-    k, b = 50, 8
+    k = 50
+    # Headline block size 16 since round 5 (RBL_BENCH_B overrides): the
+    # SpMM lane census showed per-tile MXU work is free up to 32 output
+    # lanes, and the solver-level sweep (benchmarks/blocksize_bench.py)
+    # confirms it end-to-end — at the same 768-column Krylov budget and
+    # the same tol-limited accuracy class, b=16 runs 0.346 s vs b=8's
+    # 0.50 s and b=4's 1.05 s (b=32: 0.309 s, kept out of the headline
+    # for accuracy margin).  The reference's own harness sweeps b as a
+    # tuning knob (benchmark.jl:29-36).
+    b = int(os.environ.get("RBL_BENCH_B", "16"))
     op = rt.Laplacian2D(nx=nx, ny=ny, _dtype=jnp.float32)
     cfg = RBLConfig(
         block_size=b,
@@ -118,18 +129,28 @@ def main():
 
     baseline_s = _REFERENCE_SHAPED_LOOP_S
     measured_baseline = None
-    if os.environ.get("RBL_BENCH_BASELINE"):
+    # vs_baseline must be SAME-CONFIG: the recorded 8.05 s loop is b=8,
+    # and the loop itself speeds up with wider blocks (fewer host-sync
+    # iterations — measured 2.96 s at b=16), so for any other block size
+    # the loop is re-measured live.  RBL_BENCH_BASELINE=1 forces a live
+    # measurement at b=8 too; =0 only suppresses it for the b=8 anchor.
+    _need_baseline = (
+        os.environ.get("RBL_BENCH_BASELINE") == "1"
+        or os.environ.get("RBL_BENCH_B", "16") != "8"
+    )
+    if _need_baseline:
         import jax.numpy as jnp
 
         import rbl_tpu as rt
         from benchmarks.baseline_loop import reference_shaped_solve
 
+        bb = int(os.environ.get("RBL_BENCH_B", "16"))
         op = rt.Laplacian2D(nx=512, ny=512, _dtype=jnp.float32)
-        reference_shaped_solve(op, 50, 8, seed=0)  # warm-up epoch
+        reference_shaped_solve(op, 50, bb, seed=0)  # warm-up epoch
         times = []
         for rep in (1, 2):  # distinct seeds: defeat result caching
             t0 = time.perf_counter()
-            reference_shaped_solve(op, 50, 8, seed=rep)
+            reference_shaped_solve(op, 50, bb, seed=rep)
             times.append(time.perf_counter() - t0)
         measured_baseline = baseline_s = min(times)
 
@@ -162,7 +183,8 @@ def main():
     # assert at ~2x that, not the old 5% (VERDICT r3 weak #2)
     assert max_rel < 0.025, f"headline eigenvalues off by {max_rel:.3f}"
     out = {
-        "metric": "time_to_k_eigenpairs_lap2d_512_k50_b8",
+        "metric": "time_to_k_eigenpairs_lap2d_512_k50_b"
+                  + os.environ.get("RBL_BENCH_B", "16"),
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / dt, 2),

@@ -570,6 +570,7 @@ def rbl_polished(
     cfg: Optional[RBLConfig] = None,
     b: int = 8,
     coarse_tol: float = 1e-2,
+    coarse_b: Optional[int] = None,
     coarse_cfg: Optional[RBLConfig] = None,
     buffer: Optional[int] = None,
     which: str = "LM",
@@ -620,7 +621,13 @@ def rbl_polished(
             sweep_checkpoint_path=None,
         )
     k_coarse = min(k + buffer, as_operator(A).n)
-    coarse = rbl(A, k_coarse, cfg=coarse_cfg, b=b, which=which, timer=timer)
+    # coarse_b: the discovery sweep's block size, decoupled from the
+    # polish block (round-5 lane census: per-tile MXU work is free to 32
+    # output lanes, and the b=16 headline sweep runs 31% faster than b=8
+    # at the same column budget — the coarse stage rides the same
+    # margin).  None keeps the caller's b.
+    coarse = rbl(A, k_coarse, cfg=coarse_cfg, b=coarse_b or b,
+                 which=which, timer=timer)
     warm_V = coarse.eigenvectors
     if warm_V is not None and not bool(np.all(np.isfinite(np.asarray(warm_V)))):
         warm_V = None  # post-crash-worker garbage: run the polish cold
